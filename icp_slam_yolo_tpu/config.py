@@ -1,0 +1,163 @@
+"""Static configuration for the SLAM pipeline.
+
+The reference keeps its constants in a flat module (`duc/ICP_LIDAR/Config.py:1-30`)
+plus a class-based copy in `slam_offline.py:12-34`.  Here every knob is a frozen
+(hashable) dataclass so the whole configuration can be a static argument to
+``jax.jit`` — all shapes and thresholds are compile-time constants, which is what
+lets the full scan->pose->map step compile to a single XLA program.
+
+Units are millimetres (like the reference) at the API surface; the registration
+core rescales to metres internally for float32 precision.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class GateConfig:
+    """Polar-scan gating rules (reference `process.py:38-52` and variants).
+
+    A raw scan row is ``[quality, angle_deg, distance_mm]``.  A point is kept iff
+    ``min_dist < d < max_dist``, ``quality > min_quality`` and (when
+    ``front_arc_only``) the angle lies in the front 270-degree arc
+    (``angle <= 135 or angle >= 225``).  Cartesian conversion is
+    ``x = d*cos(a)``, ``y = -d*sin(a)`` (`process.py:47-50`).
+    """
+
+    min_dist_mm: float = 0.0
+    max_dist_mm: float = 10000.0
+    min_quality: float = 13.0
+    front_arc_only: bool = True
+    front_arc_lo_deg: float = 135.0
+    front_arc_hi_deg: float = 225.0
+
+
+# Realtime gates (`process.py:44-46`): 1000 < d < 9000, q > 10.
+REALTIME_GATE = GateConfig(min_dist_mm=1000.0, max_dist_mm=9000.0, min_quality=10.0)
+# Offline gates (`slam_offline.py:70-71`): 0 < d < 10000, q > 13.
+OFFLINE_GATE = GateConfig(min_dist_mm=0.0, max_dist_mm=10000.0, min_quality=13.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Map geometry (reference `Config.py:7-9,22-23`): 30 m x 25 m @ 30 mm/px.
+
+    Pixel convention (`process.py:131-132`): ``px = cx + x/res``,
+    ``py = cy - y/res`` with the centre at ``(W//2, H//2)``.
+    """
+
+    width_mm: float = 30000.0
+    height_mm: float = 25000.0
+    resolution_mm_per_px: float = 30.0
+
+    @property
+    def width_px(self) -> int:
+        return int(self.width_mm / self.resolution_mm_per_px)
+
+    @property
+    def height_px(self) -> int:
+        return int(self.height_mm / self.resolution_mm_per_px)
+
+    @property
+    def center_px(self) -> tuple[int, int]:
+        return (self.width_px // 2, self.height_px // 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    """Registration parameters (reference `Config.py:10-12`, `slam_offline.py:22-24`).
+
+    The reference runs Open3D GICP with a correspondence threshold, a voxel
+    pre-downsample and ``max_iteration=50`` (`gicp_lidar.py:12-36`).  Ours is a
+    masked point-to-point ICP (closed-form 2-D Kabsch) with correspondence
+    gating at ``threshold_mm``, which plays the same role; `estimator` selects
+    "point_to_point" or "point_to_plane".
+    """
+
+    voxel_size_mm: float = 20.0
+    threshold_mm: float = 200.0
+    max_iterations: int = 50
+    max_rmse: float = 50.0          # accept gate (`Config.py:12`, `mainn.py:316`)
+    min_points: int = 10            # `gicp_lidar.py:13`
+    tolerance: float = 1e-5         # convergence on mean-error delta (`icp.py:50`)
+    estimator: str = "point_to_point"
+    huber_delta_mm: float = 0.0     # 0 disables robust weighting
+
+
+@dataclasses.dataclass(frozen=True)
+class OccupancyConfig:
+    """Occupancy-grid update rules (reference `process.py:114-179`).
+
+    Probabilities start at 0.5; along each robot->point ray the body cells decay
+    ``p *= p_free_decay`` and the endpoint gets ``p = min(1, p + p_occ_inc)``;
+    a ray stops early at the first body cell with ``p >= block_threshold``.
+    Updates are restricted to a ``(2*window_px)``-wide window around the robot.
+    ``free_threshold`` drives point filtering/pruning (`process.py:203-249`).
+
+    ``max_ray_px`` is the static sample budget per ray: the window bound means a
+    Bresenham line has at most ``window_px + 1`` cells, so 160 covers it.
+    """
+
+    p_occ_inc: float = 0.2
+    p_free_decay: float = 0.9
+    block_threshold: float = 0.65
+    free_threshold: float = 0.2
+    window_px: int = 140
+    max_ray_px: int = 160
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Full pipeline configuration.
+
+    ``realtime_semantics`` selects the realtime gate behaviour (`mainn.py:316-340`:
+    on reject keep pose but still update occupancy) vs the offline behaviour
+    (`slam_offline.py:386-391`: on reject skip the whole scan).  The offline
+    semantics are the replay target.
+    """
+
+    gate: GateConfig = OFFLINE_GATE
+    map: MapConfig = MapConfig()
+    icp: IcpConfig = IcpConfig()
+    occupancy: OccupancyConfig = OccupancyConfig()
+
+    local_map_radius_mm: float = 10000.0   # `slam_offline.py:34`; realtime 9000 (`Config.py:17`)
+    min_local_map_points: int = 50         # `Config.py:18`
+    dynamic_distance_mm: float = 250.0     # `slam_offline.py:27`; realtime 300 (`Config.py:16`)
+    duplicate_voxel_mm: float = 30.0       # `Config.py:15`
+    map_downsample_voxel_mm: float = 20.0  # `slam_offline.py:411` uses ICP_VOXEL_SIZE
+    map_downsample_trigger: int = 1000     # `slam_offline.py:410`
+    outlier_nb_neighbors: int = 30         # `Config.py:13`
+    outlier_std_ratio: float = 1.5         # `Config.py:14`
+    use_outlier_filter: bool = False       # offline comments it out (`slam_offline.py:357-359`)
+    use_duplicate_filter: bool = False     # offline comments it out (`slam_offline.py:394`)
+    realtime_semantics: bool = False
+
+    n_max: int = 512        # max points per scan (observed max 405)
+    map_capacity: int = 16384
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+OFFLINE_CONFIG = SlamConfig()
+
+REALTIME_CONFIG = SlamConfig(
+    gate=REALTIME_GATE,
+    icp=IcpConfig(threshold_mm=180.0, voxel_size_mm=20.0),  # `Config.py:11,24`
+    local_map_radius_mm=9000.0,
+    dynamic_distance_mm=300.0,
+    realtime_semantics=True,
+)
+
+# Stereo camera intrinsics (reference `Config.py:27-30`).
+STEREO_F = 381.0
+STEREO_CX = 320.0
+STEREO_CY = 240.0
+STEREO_BASELINE = 26.0
+
+CAMERA_TRIGGER_DISTANCE_MM = 1000.0  # `Config.py:25`
+MAP_MAINTENANCE_INTERVAL = 10        # `Config.py:26`
+ROBOT_AXIS_LENGTH_MM = 300.0         # `Config.py:19`

@@ -1,0 +1,198 @@
+"""Scan registration: masked ICP with correspondence gating, compiled for TPU.
+
+This is the TPU-native replacement for the reference's registration layer:
+
+  * Open3D GICP wrapper `duc/ICP_LIDAR/gicp_lidar.py:12-36` (voxel downsample
+    both clouds, 50 iterations, correspondence threshold, init = current pose,
+    returns ``(inlier_rmse, 4x4 T)``),
+  * point-to-point variant `duc/ICP_LIDAR/ds.py:16-26`,
+  * pure-NumPy KDTree ICP `labels_segmentation/icp.py:28-53`.
+
+Design: brute-force NN correspondence as an MXU matmul (`ops/nn.py`), gated at
+``threshold_mm``, closed-form 2-D Kabsch solve (`ops/kabsch.py`), iterated under
+``jax.lax.scan`` with a convergence freeze (once the mean correspondence error
+stops changing by ``tolerance``, further iterations become no-ops — matching
+Open3D's convergence criteria without data-dependent trip counts).
+
+``inlier_rmse`` follows Open3D's definition: RMS distance over correspondences
+within the threshold after the final transform; no inliers -> +inf, and clouds
+with fewer than ``min_points`` valid points -> +inf (`gicp_lidar.py:13-15`).
+
+Estimators: ``point_to_point`` (default) and ``point_to_plane`` (target normals
+estimated from each correspondence's local map neighbourhood) stand in for the
+reference's GICP; validation is trajectory-level per SURVEY.md section 7.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp_slam_yolo_tpu.config import IcpConfig
+from icp_slam_yolo_tpu.ops import geometry as geo
+from icp_slam_yolo_tpu.ops.kabsch import best_fit_se2
+from icp_slam_yolo_tpu.ops.nn import nearest_neighbor, pairwise_sqdist
+from icp_slam_yolo_tpu.ops.voxel import voxel_downsample
+
+
+class RegistrationResult(NamedTuple):
+    pose: jnp.ndarray      # (3,) SE(2) map-from-scan transform (x_mm, y_mm, theta)
+    rmse: jnp.ndarray      # scalar inlier RMSE (mm); +inf if degenerate
+    fitness: jnp.ndarray   # inliers / valid source points
+    n_inliers: jnp.ndarray # scalar int32
+    n_iters: jnp.ndarray   # iterations before convergence freeze
+
+
+def _target_normals(tgt_xy: jnp.ndarray, tgt_valid: jnp.ndarray) -> jnp.ndarray:
+    """2-D normals per target point from its nearest valid neighbour: the local
+    tangent is the direction to the closest other point; the normal is its
+    perpendicular.  Cheap stand-in for Open3D's covariance normals
+    (`gicp_lidar.py:23-27`) that works under one matmul.
+    """
+    center = geo.masked_mean(tgt_xy, tgt_valid)
+    p = (tgt_xy - center) * 1e-3
+    d2 = pairwise_sqdist(p, p)
+    n = tgt_xy.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    d2 = jnp.where(eye | ~tgt_valid[None, :], 1e30, d2)
+    nn_idx = jnp.argmin(d2, axis=1)
+    tangent = tgt_xy[nn_idx] - tgt_xy
+    norm = jnp.sqrt(jnp.sum(tangent * tangent, axis=-1, keepdims=True))
+    tangent = tangent / jnp.maximum(norm, 1e-6)
+    return jnp.stack([-tangent[:, 1], tangent[:, 0]], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def icp_masked(
+    src_xy: jnp.ndarray,
+    src_valid: jnp.ndarray,
+    tgt_xy: jnp.ndarray,
+    tgt_valid: jnp.ndarray,
+    init_pose: jnp.ndarray,
+    cfg: IcpConfig = IcpConfig(),
+) -> RegistrationResult:
+    """Masked fixed-shape ICP aligning ``src`` onto ``tgt``.
+
+    Args:
+      src_xy / src_valid: ``(N, 2)`` float32 mm + mask (sensor frame).
+      tgt_xy / tgt_valid: ``(M, 2)`` float32 mm + mask (map frame).
+      init_pose: ``(3,)`` SE(2) initial guess (the current global pose, as in
+        `slam_offline.py:382`).
+
+    Returns a `RegistrationResult` whose ``pose`` maps sensor frame -> map frame.
+    """
+    init_pose = init_pose.astype(jnp.float32)
+    n_src = jnp.sum(src_valid)
+    n_tgt = jnp.sum(tgt_valid)
+
+    use_p2l = cfg.estimator == "point_to_plane"
+    normals = _target_normals(tgt_xy, tgt_valid) if use_p2l else None
+
+    def body(carry, _):
+        pose, prev_err, done, iters = carry
+        moved = geo.se2_apply(pose, src_xy)
+        dist, idx = nearest_neighbor(moved, tgt_xy, tgt_valid, src_valid)
+        matched = tgt_xy[idx]
+        w = (src_valid & (dist < cfg.threshold_mm)).astype(jnp.float32)
+        if cfg.huber_delta_mm > 0:
+            w = w * jnp.minimum(1.0, cfg.huber_delta_mm / jnp.maximum(dist, 1e-6))
+        if use_p2l:
+            # project the residual onto the target normal: solve point-to-point
+            # against the foot of the perpendicular (one Gauss-Newton step of
+            # the point-to-plane objective, exact for small angles)
+            nrm = normals[idx]
+            resid = jnp.sum((matched - moved) * nrm, axis=-1, keepdims=True)
+            matched = moved + resid * nrm
+        dtheta, dt = best_fit_se2(moved, matched, w)
+        delta = jnp.array([dt[0], dt[1], dtheta], jnp.float32)
+        new_pose = geo.se2_compose(delta, pose)
+
+        err = jnp.sum(jnp.where(w > 0, dist, 0.0)) / jnp.maximum(jnp.sum(w > 0), 1)
+        converged = jnp.abs(prev_err - err) < cfg.tolerance
+        new_done = done | converged
+        pose = jnp.where(done, pose, new_pose)
+        iters = iters + jnp.where(done, 0, 1)
+        return (pose, err, new_done, iters), None
+
+    init_err = jnp.float32(1e30)
+    (pose, _, _, iters), _ = jax.lax.scan(
+        body,
+        (init_pose, init_err, jnp.bool_(False), jnp.int32(0)),
+        None,
+        length=cfg.max_iterations,
+    )
+
+    moved = geo.se2_apply(pose, src_xy)
+    dist, _ = nearest_neighbor(moved, tgt_xy, tgt_valid, src_valid)
+    inlier = src_valid & (dist < cfg.threshold_mm)
+    n_in = jnp.sum(inlier)
+    rmse = jnp.sqrt(jnp.sum(jnp.where(inlier, dist * dist, 0.0)) / jnp.maximum(n_in, 1))
+    degenerate = (n_src < cfg.min_points) | (n_tgt < cfg.min_points) | (n_in == 0)
+    rmse = jnp.where(degenerate, jnp.float32(jnp.inf), rmse)
+    pose = jnp.where(degenerate, init_pose, pose)
+    fitness = n_in / jnp.maximum(n_src, 1)
+    return RegistrationResult(pose=pose, rmse=rmse, fitness=fitness, n_inliers=n_in, n_iters=iters)
+
+
+def _pad_points(points: np.ndarray, n: int):
+    pts = np.asarray(points, dtype=np.float32)[:, :2]
+    m = min(len(pts), n)
+    out = np.zeros((n, 2), np.float32)
+    out[:m] = pts[:m]
+    valid = np.zeros(n, bool)
+    valid[:m] = True
+    return jnp.asarray(out), jnp.asarray(valid)
+
+
+def icp(src_points, tgt_points, init_pose=None, cfg: IcpConfig = IcpConfig(), pad_to: int = 512):
+    """Convenience host API: register raw ``(N, 2/3)`` arrays (pads + masks).
+
+    Returns `RegistrationResult`.  Mirrors the `register(src, dst)` contract of
+    `ds.py:16-26` with an SE(2) result.
+    """
+    s, sv = _pad_points(np.asarray(src_points), pad_to)
+    t, tv = _pad_points(np.asarray(tgt_points), max(pad_to, len(np.asarray(tgt_points))))
+    init = geo.se2_identity() if init_pose is None else jnp.asarray(init_pose, jnp.float32)
+    return icp_masked(s, sv, t, tv, init, cfg)
+
+
+def register(src_points, dst_points, init_pose=None, cfg: IcpConfig = IcpConfig()):
+    """Public ``register(src, dst) -> (R, t)`` API named in BASELINE.json.
+
+    Returns ``(R, t, rmse)`` with ``R`` a 2x2 rotation and ``t`` ``(2,)`` mm.
+    """
+    res = icp(src_points, dst_points, init_pose=init_pose, cfg=cfg)
+    r = geo.se2_rotation(res.pose)
+    return np.asarray(r), np.asarray(res.pose[:2]), float(res.rmse)
+
+
+def gicp(points1, points2, threshold: float = 200.0, voxel_size: float = 20.0, trans_init=None):
+    """Signature/semantics parity with `gicp_lidar.py:12-36`: voxel-downsample
+    both clouds, register with init transform, return ``(inlier_rmse, T4x4)``.
+    Fewer than 10 points on either side returns ``(inf, eye(4))``.
+    """
+    p1 = np.asarray(points1, dtype=np.float32)
+    p2 = np.asarray(points2, dtype=np.float32)
+    if len(p1) < 10 or len(p2) < 10:
+        return float("inf"), np.eye(4)
+
+    cfg = IcpConfig(threshold_mm=float(threshold), voxel_size_mm=float(voxel_size))
+    n1 = int(2 ** int(np.ceil(np.log2(max(len(p1), 64)))))
+    n2 = int(2 ** int(np.ceil(np.log2(max(len(p2), 64)))))
+    s, sv = _pad_points(p1, n1)
+    t, tv = _pad_points(p2, n2)
+    s, sv = voxel_downsample(s, sv, cfg.voxel_size_mm)
+    t, tv = voxel_downsample(t, tv, cfg.voxel_size_mm)
+
+    if trans_init is None:
+        init = geo.se2_identity()
+    else:
+        ti = jnp.asarray(np.asarray(trans_init, np.float32))
+        init = geo.mat44_to_se2(ti) if ti.shape == (4, 4) else ti
+    res = icp_masked(s, sv, t, tv, init, cfg)
+    t44 = np.asarray(geo.se2_to_mat44(res.pose), dtype=np.float64)
+    return float(res.rmse), t44

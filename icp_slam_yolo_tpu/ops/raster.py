@@ -1,0 +1,168 @@
+"""Occupancy-grid raycasting in XLA: vectorised exact Bresenham + scatter.
+
+The reference walks a Python Bresenham line per endpoint and mutates a float32
+probability grid cell-by-cell (`process.py:86-179`): body cells decay
+``p *= 0.9``, the endpoint gets ``p = min(1, p + 0.2)``, and a ray stops early
+at the first body cell whose probability is already ``>= 0.65``.  Updates are
+restricted to a window around the robot, and endpoints outside that window are
+skipped entirely (`process.py:129-148`).
+
+TPU design:
+  * Bresenham has a closed form: on the driving axis step ``i``, the minor
+    coordinate is ``minor0 + s_minor * max(0, ceil((2*i*d_minor - d_major) /
+    (2*d_major)))`` — exactly the integer error-accumulator sequence of
+    `process.py:86-112`, so cell sequences match the reference bit-for-bit.
+    We evaluate it for a static ``K = max_ray_px`` samples per ray and mask
+    ``i > L`` (``L = max(|dx|, |dy|)``; the window bound keeps ``L <= 2*window``).
+  * Early stopping is order-dependent in the reference (later rays see cells
+    updated by earlier rays *within the same scan*).  We freeze the
+    probabilities at scan start to compute each ray's first blocked cell, then
+    apply all updates at once: free-decay as ``p * 0.9^n_crossings`` and
+    occupancy as ``min(1, p + 0.2 * n_endpoints)`` (free applied before
+    occupied).  The NumPy oracle (`reference_impl/oracle.py`) implements the
+    same frozen-probability semantics so TPU and oracle agree bitwise-ish.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from icp_slam_yolo_tpu.config import MapConfig, OccupancyConfig
+
+
+class RayCells(NamedTuple):
+    px: jnp.ndarray        # (N, K) int32 cell x per sample
+    py: jnp.ndarray        # (N, K) int32 cell y per sample
+    body: jnp.ndarray      # (N, K) bool — body sample (i < L), ray valid
+    endpoint: jnp.ndarray  # (N, K) bool — endpoint sample (i == L), ray valid
+
+
+def world_to_px(xy: jnp.ndarray, map_cfg: MapConfig):
+    """World mm -> integer pixel (reference convention `process.py:131-132`):
+    ``px = cx + x/res`` , ``py = cy - y/res`` , truncated toward zero (int()).
+    """
+    cx, cy = map_cfg.center_px
+    res = jnp.float32(map_cfg.resolution_mm_per_px)
+    px = jnp.trunc(cx + xy[..., 0] / res).astype(jnp.int32)
+    py = jnp.trunc(cy - xy[..., 1] / res).astype(jnp.int32)
+    return px, py
+
+
+def bresenham_cells(x0, y0, x1: jnp.ndarray, y1: jnp.ndarray, ray_valid: jnp.ndarray, k: int) -> RayCells:
+    """Closed-form Bresenham sample grid for N rays from (x0, y0) to (x1, y1).
+
+    Produces the exact cell sequence of `process.py:86-112` including its
+    tie-break (the y-driven branch when ``dx <= dy``) and the appended endpoint.
+    """
+    dx = jnp.abs(x1 - x0)
+    dy = jnp.abs(y1 - y0)
+    sx = jnp.where(x1 >= x0, 1, -1)
+    sy = jnp.where(y1 >= y0, 1, -1)
+    ell = jnp.maximum(dx, dy)  # number of body cells; total cells = L + 1
+
+    i = jnp.arange(k, dtype=jnp.int32)[None, :]           # (1, K)
+    dxe = dx[:, None]
+    dye = dy[:, None]
+
+    def minor_steps(d_minor, d_major):
+        dmaj = jnp.maximum(d_major, 1)
+        # ceil(a / b) with floor-division: -((-a) // b)
+        a = 2 * i * d_minor - d_major
+        return jnp.maximum(0, -((-a) // (2 * dmaj)))
+
+    x_driven = dxe > dye                                   # reference: `if dx > dy`
+    kx = minor_steps(dye, dxe)                             # y-steps when x-driven
+    ky = minor_steps(dxe, dye)                             # x-steps when y-driven
+    px = jnp.where(x_driven, x0 + sx[:, None] * i, x0 + sx[:, None] * ky)
+    py = jnp.where(x_driven, y0 + sy[:, None] * kx, y0 + sy[:, None] * i)
+
+    in_ray = (i <= ell[:, None]) & ray_valid[:, None]
+    body = in_ray & (i < ell[:, None])
+    endpoint = in_ray & (i == ell[:, None])
+    return RayCells(px=px, py=py, body=body, endpoint=endpoint)
+
+
+def update_occupancy(
+    occ: jnp.ndarray,
+    points_xy: jnp.ndarray,
+    valid: jnp.ndarray,
+    robot_xy: jnp.ndarray,
+    map_cfg: MapConfig,
+    occ_cfg: OccupancyConfig,
+) -> jnp.ndarray:
+    """One scan's occupancy update (`process.py:114-179` semantics, see module doc).
+
+    Args:
+      occ: ``(H, W)`` float32 probability grid (init 0.5).
+      points_xy: ``(N, 2)`` global-frame endpoints (mm).
+      valid: ``(N,)`` bool endpoint mask.
+      robot_xy: ``(2,)`` robot position (mm).
+
+    Returns the updated grid (same shape).
+    """
+    h, w = occ.shape
+    win = occ_cfg.window_px
+
+    rx, ry = world_to_px(robot_xy[None, :], map_cfg)
+    rx, ry = rx[0], ry[0]
+    ex, ey = world_to_px(points_xy, map_cfg)
+
+    # window clamp around the robot (`process.py:133-141`)
+    x1 = jnp.maximum(0, rx - win)
+    y1 = jnp.maximum(0, ry - win)
+    x2 = jnp.minimum(w, rx + win)
+    y2 = jnp.minimum(h, ry + win)
+    in_window = (ex >= x1) & (ex < x2) & (ey >= y1) & (ey < y2)
+    ray_valid = valid & in_window
+
+    cells = bresenham_cells(rx, ry, ex, ey, ray_valid, occ_cfg.max_ray_px)
+    # samples that fall outside the window are skipped (reference `continue`,
+    # `process.py:150-151`) but do not terminate the ray
+    cell_in_win = (cells.px >= x1) & (cells.px < x2) & (cells.py >= y1) & (cells.py < y2)
+    body = cells.body & cell_in_win
+    endpoint = cells.endpoint & cell_in_win
+
+    # frozen-probability early stop at the first blocked body cell
+    pxc = jnp.clip(cells.px, 0, w - 1)
+    pyc = jnp.clip(cells.py, 0, h - 1)
+    p0 = occ[pyc, pxc]
+    blocked = body & (p0 >= occ_cfg.block_threshold)
+    k = occ_cfg.max_ray_px
+    i = jnp.arange(k, dtype=jnp.int32)[None, :]
+    first_block = jnp.min(jnp.where(blocked, i, k), axis=1, keepdims=True)
+    body = body & (i < first_block)
+    endpoint = endpoint & (first_block == k)
+
+    flat = pyc * w + pxc
+    free_n = jnp.zeros(h * w, jnp.float32).at[flat.reshape(-1)].add(
+        body.reshape(-1).astype(jnp.float32)
+    )
+    occ_n = jnp.zeros(h * w, jnp.float32).at[flat.reshape(-1)].add(
+        endpoint.reshape(-1).astype(jnp.float32)
+    )
+    free_n = free_n.reshape(h, w)
+    occ_n = occ_n.reshape(h, w)
+
+    p = occ * jnp.power(jnp.float32(occ_cfg.p_free_decay), free_n)
+    p = jnp.minimum(1.0, p + occ_cfg.p_occ_inc * occ_n)
+    return p
+
+
+def occupancy_keep_mask(
+    points_xy: jnp.ndarray,
+    valid: jnp.ndarray,
+    occ: jnp.ndarray,
+    map_cfg: MapConfig,
+    free_threshold: float,
+) -> jnp.ndarray:
+    """Keep-mask for `filter_new_points_by_occupancy` / `prune_global_map`
+    (`process.py:203-249`): drop points whose cell is confidently free
+    (``p < free_threshold``); out-of-bounds points are kept.
+    """
+    h, w = occ.shape
+    px, py = world_to_px(points_xy, map_cfg)
+    oob = (px < 0) | (px >= w) | (py < 0) | (py >= h)
+    p = occ[jnp.clip(py, 0, h - 1), jnp.clip(px, 0, w - 1)]
+    return valid & (oob | (p >= free_threshold))

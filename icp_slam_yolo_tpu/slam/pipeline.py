@@ -1,0 +1,186 @@
+"""The SLAM odometry pipeline: one compiled scan -> pose -> map step.
+
+Implements the reference's offline loop order of operations
+(`slam_offline.py:344-428`) as a single jitted function over fixed-shape masked
+state, then runs whole sequences under ``jax.lax.scan`` — the 1800-scan replay
+is ONE XLA program with zero per-scan host round-trips (the TPU-native
+replacement for the reference's SLAM thread, SURVEY.md section 2.6).
+
+Per accepted scan (offline semantics):
+  gate scan -> local-map mask -> voxel-downsample scan -> ICP (init = pose) ->
+  RMSE gate -> transform to global -> dynamic-point filter vs previous scan ->
+  occupancy free-space filter -> insert into map -> voxel-downsample map when
+  over trigger -> occupancy raycast update -> prune map by occupancy.
+A rejected scan (``rmse > max_rmse`` or too few points) changes nothing
+(`slam_offline.py:386-387` `continue`).  Realtime semantics
+(`mainn.py:316-340`: keep pose on reject but still insert/update) are selected
+by ``cfg.realtime_semantics``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp_slam_yolo_tpu.config import SlamConfig
+from icp_slam_yolo_tpu.core.registration import icp_masked
+from icp_slam_yolo_tpu.ops import geometry as geo
+from icp_slam_yolo_tpu.ops.outliers import dynamic_points_mask, statistical_outlier_mask
+from icp_slam_yolo_tpu.ops.raster import occupancy_keep_mask, update_occupancy
+from icp_slam_yolo_tpu.ops.voxel import compact, voxel_downsample
+
+
+class SlamState(NamedTuple):
+    pose: jnp.ndarray       # (3,) SE(2) global pose
+    map_xy: jnp.ndarray     # (CAP, 2) float32 global map points (mm)
+    map_valid: jnp.ndarray  # (CAP,) bool
+    occ: jnp.ndarray        # (H, W) float32 occupancy probabilities
+    prev_xy: jnp.ndarray    # (N, 2) previous accepted scan in global frame
+    prev_valid: jnp.ndarray # (N,) bool
+    step: jnp.ndarray       # int32 scan counter
+
+
+class StepOutput(NamedTuple):
+    pose: jnp.ndarray      # (3,)
+    rmse: jnp.ndarray      # scalar
+    accepted: jnp.ndarray  # bool
+    n_points: jnp.ndarray  # gated point count
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def init_state(first_scan: jnp.ndarray, cfg: SlamConfig = SlamConfig()) -> SlamState:
+    """Seed state from the first scan (`slam_offline.py:333-342`): map <- gated
+    points, occupancy update from the identity pose."""
+    xy, valid = geo.polar_to_cartesian(first_scan, cfg.gate)
+    cap = cfg.map_capacity
+    map_xy = jnp.zeros((cap, 2), jnp.float32).at[: xy.shape[0]].set(xy)
+    map_valid = jnp.zeros(cap, bool).at[: xy.shape[0]].set(valid)
+    occ = jnp.full((cfg.map.height_px, cfg.map.width_px), 0.5, jnp.float32)
+    occ = update_occupancy(occ, xy, valid, jnp.zeros(2, jnp.float32), cfg.map, cfg.occupancy)
+    return SlamState(
+        pose=geo.se2_identity(),
+        map_xy=map_xy,
+        map_valid=map_valid,
+        occ=occ,
+        prev_xy=jnp.zeros_like(xy),
+        prev_valid=jnp.zeros(xy.shape[0], bool),
+        step=jnp.int32(0),
+    )
+
+
+def make_step(cfg: SlamConfig = SlamConfig()):
+    """Build the jittable ``step(state, scan) -> (state, StepOutput)``."""
+
+    def step(state: SlamState, scan_raw: jnp.ndarray):
+        xy, valid = geo.polar_to_cartesian(scan_raw, cfg.gate)
+        if cfg.use_outlier_filter:
+            valid = statistical_outlier_mask(xy, valid, cfg.outlier_nb_neighbors, cfg.outlier_std_ratio)
+        n_points = jnp.sum(valid)
+        enough = n_points >= cfg.icp.min_points
+
+        # local-map mask (`slam_offline.py:365-376`): radius crop, full-map
+        # fallback when fewer than `min_local_map_points` survive
+        d2 = jnp.sum((state.map_xy - state.pose[:2]) ** 2, axis=-1)
+        local = state.map_valid & (d2 < jnp.float32(cfg.local_map_radius_mm) ** 2)
+        use_local = jnp.sum(local) >= cfg.min_local_map_points
+        tgt_valid = jnp.where(use_local, local, state.map_valid)
+
+        # the reference downsamples the scan before GICP (`gicp_lidar.py:20`)
+        ds_xy, ds_valid = voxel_downsample(xy, valid, cfg.icp.voxel_size_mm)
+        res = icp_masked(ds_xy, ds_valid, state.map_xy, tgt_valid, state.pose, cfg.icp)
+        accepted = enough & (res.rmse <= cfg.icp.max_rmse)
+
+        def do_update(op):
+            state, pose = op
+            cur_xy = geo.se2_apply(pose, xy)
+            cur_valid = valid
+            if cfg.use_duplicate_filter:
+                cur_dd, valid_dd = voxel_downsample(cur_xy, cur_valid, cfg.duplicate_voxel_mm)
+            else:
+                cur_dd, valid_dd = cur_xy, cur_valid
+            add_valid = dynamic_points_mask(
+                cur_dd, valid_dd, state.prev_xy, state.prev_valid, cfg.dynamic_distance_mm
+            )
+            add_valid = occupancy_keep_mask(
+                cur_dd, add_valid, state.occ, cfg.map, cfg.occupancy.free_threshold
+            )
+
+            big_xy = jnp.concatenate([state.map_xy, cur_dd], axis=0)
+            big_valid = jnp.concatenate([state.map_valid, add_valid], axis=0)
+            count = jnp.sum(big_valid)
+            ds_map_xy, ds_map_valid = voxel_downsample(big_xy, big_valid, cfg.map_downsample_voxel_mm)
+            over = count > cfg.map_downsample_trigger
+            big_xy = jnp.where(over, ds_map_xy, big_xy)
+            big_valid = jnp.where(over, ds_map_valid, big_valid)
+
+            occ = update_occupancy(state.occ, cur_xy, cur_valid, pose[:2], cfg.map, cfg.occupancy)
+            big_valid = occupancy_keep_mask(big_xy, big_valid, occ, cfg.map, cfg.occupancy.free_threshold)
+            map_xy, map_valid = compact(big_xy, big_valid, cfg.map_capacity)
+
+            return SlamState(
+                pose=pose,
+                map_xy=map_xy,
+                map_valid=map_valid,
+                occ=occ,
+                prev_xy=cur_xy,
+                prev_valid=cur_valid,
+                step=state.step + 1,
+            )
+
+        def no_update(op):
+            state, _ = op
+            return state._replace(step=state.step + 1)
+
+        if cfg.realtime_semantics:
+            # realtime keeps the old pose on reject but still maps the scan
+            # (`mainn.py:316-340`)
+            pose = jnp.where(accepted, res.pose, state.pose)
+            new_state = do_update((state, pose))
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(enough, new, old), new_state, state._replace(step=state.step + 1)
+            )
+        else:
+            new_state = jax.lax.cond(accepted, do_update, no_update, (state, res.pose))
+
+        out = StepOutput(pose=new_state.pose, rmse=res.rmse, accepted=accepted, n_points=n_points)
+        return new_state, out
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def run_sequence(scans: jnp.ndarray, cfg: SlamConfig = SlamConfig()):
+    """Replay a padded scan stack ``(T, n_max, 3)``: scan 0 seeds the state,
+    scans 1..T-1 run through the step under ``lax.scan``.
+
+    Returns ``(final_state, outputs)`` where ``outputs`` fields are stacked
+    per-scan ``(T-1, ...)`` arrays (pose trajectory, RMSE, accept flags).
+    """
+    state = init_state(scans[0], cfg)
+    step = make_step(cfg)
+    final_state, outs = jax.lax.scan(step, state, scans[1:])
+    return final_state, outs
+
+
+def update_map(state: SlamState, scan_raw, pose, cfg: SlamConfig = SlamConfig()) -> SlamState:
+    """Public ``update_map(scan, pose)`` API named in BASELINE.json: insert one
+    gated scan into the map/occupancy at a given pose, skipping registration."""
+    scan_raw = jnp.asarray(np.asarray(scan_raw, np.float32))
+    pose = jnp.asarray(pose, jnp.float32)
+    return _update_map_jit(state, scan_raw, pose, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _update_map_jit(state: SlamState, scan_raw, pose, cfg: SlamConfig):
+    xy, valid = geo.polar_to_cartesian(scan_raw, cfg.gate)
+    cur_xy = geo.se2_apply(pose, xy)
+    add_valid = occupancy_keep_mask(cur_xy, valid, state.occ, cfg.map, cfg.occupancy.free_threshold)
+    big_xy = jnp.concatenate([state.map_xy, cur_xy], axis=0)
+    big_valid = jnp.concatenate([state.map_valid, add_valid], axis=0)
+    occ = update_occupancy(state.occ, cur_xy, valid, pose[:2], cfg.map, cfg.occupancy)
+    map_xy, map_valid = compact(big_xy, big_valid, cfg.map_capacity)
+    return state._replace(pose=pose, map_xy=map_xy, map_valid=map_valid, occ=occ, step=state.step + 1)

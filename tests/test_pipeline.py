@@ -1,0 +1,84 @@
+"""End-to-end pipeline regression: compiled lax.scan replay vs the NumPy oracle
+on a real Scan_data_1 prefix (the reference's offline replay is its de-facto
+integration test, SURVEY.md section 4)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from icp_slam_yolo_tpu.config import SlamConfig
+from icp_slam_yolo_tpu.io import scans as scans_io
+from icp_slam_yolo_tpu.reference_impl import oracle
+from icp_slam_yolo_tpu.slam import pipeline
+from icp_slam_yolo_tpu.slam.api import Slam
+
+CFG = SlamConfig(map_capacity=4096)
+
+
+def test_run_sequence_matches_oracle(scan_sequence):
+    raw = scan_sequence[:40]
+    padded = scans_io.collate(raw, CFG.n_max)
+
+    _, ref_poses, ref_rmses, ref_acc = oracle.run_sequence(raw, CFG)
+    state, outs = pipeline.run_sequence(jnp.asarray(padded), CFG)
+
+    acc = np.asarray(outs.accepted)
+    poses = np.asarray(outs.pose)
+    rmses = np.asarray(outs.rmse)
+
+    # accept decisions should agree on nearly every scan
+    agree = (acc == ref_acc).mean()
+    assert agree > 0.9, f"accept agreement {agree}"
+
+    both = acc & ref_acc
+    assert both.sum() > 20
+    pos_err = np.linalg.norm(poses[both, :2] - ref_poses[both, :2], axis=1)
+    ang_err = np.abs(poses[both, 2] - ref_poses[both, 2])
+    assert pos_err.max() < 30.0, f"max position error {pos_err.max():.2f} mm"
+    assert ang_err.max() < 0.02, f"max angle error {ang_err.max():.4f} rad"
+    finite = np.isfinite(rmses) & np.isfinite(ref_rmses)
+    assert np.abs(rmses[finite] - ref_rmses[finite]).max() < 3.0
+
+
+def test_streaming_equals_batch(scan_sequence):
+    raw = scan_sequence[:15]
+    padded = scans_io.collate(raw, CFG.n_max)
+
+    s = Slam(CFG)
+    for scan in raw:
+        s.add_scan(scan)
+    stream_traj = np.asarray(s.trajectory)
+
+    _, outs = pipeline.run_sequence(jnp.asarray(padded), CFG)
+    batch_traj = np.concatenate([np.zeros((1, 3)), np.asarray(outs.pose)], axis=0)
+    np.testing.assert_allclose(stream_traj, batch_traj, atol=1e-3)
+
+
+def test_map_stays_bounded(scan_sequence):
+    padded = scans_io.collate(scan_sequence[:30], CFG.n_max)
+    state, _ = pipeline.run_sequence(jnp.asarray(padded), CFG)
+    n = int(np.asarray(state.map_valid).sum())
+    assert 50 < n <= CFG.map_capacity
+    occ = np.asarray(state.occ)
+    assert occ.min() >= 0.0 and occ.max() <= 1.0
+    assert (occ != 0.5).sum() > 100  # the grid actually got painted
+
+
+def test_update_map_api(scan_sequence):
+    padded = scans_io.collate(scan_sequence[:1], CFG.n_max)
+    state = pipeline.init_state(jnp.asarray(padded[0]), CFG)
+    n0 = int(np.asarray(state.map_valid).sum())
+    state2 = pipeline.update_map(state, padded[0], np.array([500.0, 0.0, 0.1]), CFG)
+    assert int(np.asarray(state2.map_valid).sum()) > n0
+    np.testing.assert_allclose(np.asarray(state2.pose), [500.0, 0.0, 0.1], atol=1e-5)
+
+
+def test_reject_leaves_state_unchanged(scan_sequence):
+    padded = scans_io.collate(scan_sequence[:2], CFG.n_max)
+    state = pipeline.init_state(jnp.asarray(padded[0]), CFG)
+    step = pipeline.make_step(CFG)
+    garbage = np.zeros((CFG.n_max, 3), np.float32)  # all rows fail the gates
+    new_state, out = step(state, jnp.asarray(garbage))
+    assert not bool(out.accepted)
+    np.testing.assert_array_equal(np.asarray(new_state.pose), np.asarray(state.pose))
+    np.testing.assert_array_equal(np.asarray(new_state.map_valid), np.asarray(state.map_valid))
+    assert int(new_state.step) == int(state.step) + 1

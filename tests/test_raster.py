@@ -1,0 +1,87 @@
+"""Occupancy raster: vectorised Bresenham vs the literal reference algorithm,
+and the full update vs the NumPy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from icp_slam_yolo_tpu.config import MapConfig, OccupancyConfig
+from icp_slam_yolo_tpu.ops.raster import bresenham_cells, occupancy_keep_mask, update_occupancy, world_to_px
+from icp_slam_yolo_tpu.reference_impl import oracle
+
+
+def test_bresenham_closed_form_exact(rng):
+    """Every ray's cell sequence must equal the reference Python Bresenham
+    (`process.py:86-112`) bit for bit."""
+    x0, y0 = 50, 40
+    ends = rng.integers(-100, 140, size=(200, 2))
+    cells = bresenham_cells(
+        jnp.int32(x0), jnp.int32(y0), jnp.asarray(ends[:, 0], jnp.int32), jnp.asarray(ends[:, 1], jnp.int32),
+        jnp.ones(len(ends), bool), 256,
+    )
+    px, py = np.asarray(cells.px), np.asarray(cells.py)
+    body, endp = np.asarray(cells.body), np.asarray(cells.endpoint)
+    for r, (x1, y1) in enumerate(ends):
+        ref = oracle.bresenham(x0, y0, int(x1), int(y1))
+        n = body[r].sum() + endp[r].sum()
+        assert n == len(ref), f"ray {r}: {n} vs {len(ref)}"
+        ours = list(zip(px[r][: len(ref)], py[r][: len(ref)]))
+        assert ours == ref, f"ray {r} differs"
+        # endpoint flag on the last cell only
+        assert endp[r].argmax() == len(ref) - 1
+
+
+def test_world_to_px_convention():
+    mc = MapConfig()
+    px, py = world_to_px(jnp.asarray([[0.0, 0.0], [3000.0, -3000.0]], jnp.float32), mc)
+    assert (int(px[0]), int(py[0])) == (500, 416)
+    assert (int(px[1]), int(py[1])) == (600, 516)
+
+
+def test_update_occupancy_matches_oracle(scan_pair):
+    from icp_slam_yolo_tpu.config import OFFLINE_GATE
+
+    mc, oc = MapConfig(), OccupancyConfig()
+    pts = oracle.polar_gate(scan_pair[0], OFFLINE_GATE)
+    occ0 = np.full((mc.height_px, mc.width_px), 0.5, np.float64)
+
+    ref = oracle.update_occupancy(occ0, pts, np.zeros(2), mc, oc)
+    # second scan exercises the frozen-probability early stop
+    ref2 = oracle.update_occupancy(ref, pts + 30.0, np.array([50.0, 20.0]), mc, oc)
+
+    n = 512
+    xy = np.zeros((n, 2), np.float32)
+    xy[: len(pts)] = pts
+    valid = np.zeros(n, bool)
+    valid[: len(pts)] = True
+    ours = update_occupancy(jnp.full((mc.height_px, mc.width_px), 0.5, jnp.float32), jnp.asarray(xy), jnp.asarray(valid), jnp.zeros(2, jnp.float32), mc, oc)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+    xy2 = np.zeros((n, 2), np.float32)
+    xy2[: len(pts)] = pts + 30.0
+    ours2 = update_occupancy(ours, jnp.asarray(xy2), jnp.asarray(valid), jnp.asarray([50.0, 20.0], jnp.float32), mc, oc)
+    np.testing.assert_allclose(np.asarray(ours2), ref2, atol=1e-5)
+
+
+def test_early_stop_blocks_ray():
+    mc = MapConfig(width_mm=3000.0, height_mm=3000.0, resolution_mm_per_px=30.0)
+    oc = OccupancyConfig(window_px=49)
+    h, w = mc.height_px, mc.width_px
+    occ = np.full((h, w), 0.5, np.float32)
+    # wall of occupied cells across the ray path at x = +300mm (px 60)
+    occ[:, 60] = 0.9
+    endpoint = np.asarray([[900.0, 0.0]], np.float32)  # px 80, beyond the wall
+    out = update_occupancy(jnp.asarray(occ), jnp.asarray(endpoint), jnp.ones(1, bool), jnp.zeros(2, jnp.float32), mc, oc)
+    out = np.asarray(out)
+    ry, rx = mc.center_px[1], mc.center_px[0]
+    assert out[ry, rx + 5] < 0.5          # decayed before the wall
+    assert out[ry, 60] == np.float32(0.9)  # the blocking cell untouched
+    assert out[ry, rx + 15] == 0.5         # beyond the wall: untouched
+    assert out[ry, 80] == 0.5              # endpoint not incremented (ray blocked)
+
+
+def test_occupancy_keep_mask():
+    mc = MapConfig()
+    occ = jnp.full((mc.height_px, mc.width_px), 0.5, jnp.float32).at[416, 600].set(0.05)
+    pts = jnp.asarray([[3000.0, 0.0], [0.0, 3000.0], [10**6, 0.0]], jnp.float32)
+    keep = occupancy_keep_mask(pts, jnp.ones(3, bool), occ, mc, 0.2)
+    assert list(np.asarray(keep)) == [False, True, True]  # free cell dropped, OOB kept
