@@ -84,6 +84,9 @@ class IcpConfig:
     tolerance: float = 1e-5         # convergence on mean-error delta (`icp.py:50`)
     estimator: str = "point_to_point"
     huber_delta_mm: float = 0.0     # 0 disables robust weighting
+    backend: str = "auto"           # "auto" | "xla" | "fused" (single Pallas kernel)
+    early_exit: bool = True         # stop fused kernel at convergence (keep True
+                                    # for single-lane use; set False under vmap)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -66,7 +66,6 @@ def _target_normals(tgt_xy: jnp.ndarray, tgt_valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([-tangent[:, 1], tangent[:, 0]], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 def icp_masked(
     src_xy: jnp.ndarray,
     src_valid: jnp.ndarray,
@@ -88,6 +87,26 @@ def icp_masked(
     init_pose = init_pose.astype(jnp.float32)
     n_src = jnp.sum(src_valid)
     n_tgt = jnp.sum(tgt_valid)
+
+    fusable = (
+        cfg.estimator == "point_to_point"
+        and cfg.huber_delta_mm == 0
+        and src_xy.shape[0] % 8 == 0
+        and tgt_xy.shape[0] % 128 == 0
+    )
+    if cfg.backend == "fused" or (cfg.backend == "auto" and fusable and jax.default_backend() == "tpu"):
+        from icp_slam_yolo_tpu.ops.pallas.icp_fused import icp_fused_pallas
+
+        pose, rmse, n_in, n_iters = icp_fused_pallas(
+            src_xy, src_valid, tgt_xy, tgt_valid, init_pose,
+            iters=cfg.max_iterations, threshold_mm=cfg.threshold_mm, tolerance=cfg.tolerance,
+            early_exit=cfg.early_exit, interpret=jax.default_backend() != "tpu",
+        )
+        degenerate = (n_src < cfg.min_points) | (n_tgt < cfg.min_points) | (n_in == 0)
+        rmse = jnp.where(degenerate, jnp.float32(jnp.inf), rmse)
+        pose = jnp.where(degenerate, init_pose, pose)
+        fitness = n_in / jnp.maximum(n_src, 1)
+        return RegistrationResult(pose=pose, rmse=rmse, fitness=fitness, n_inliers=n_in, n_iters=n_iters)
 
     use_p2l = cfg.estimator == "point_to_plane"
     normals = _target_normals(tgt_xy, tgt_valid) if use_p2l else None
@@ -138,6 +157,11 @@ def icp_masked(
     return RegistrationResult(pose=pose, rmse=rmse, fitness=fitness, n_inliers=n_in, n_iters=iters)
 
 
+# host-facing entry: jitted once per (shape, cfg); the pipeline traces
+# `icp_masked` directly inside its own jit (nested jits confuse dispatch)
+icp_masked_jit = partial(jax.jit, static_argnames=("cfg",))(icp_masked)
+
+
 def _pad_points(points: np.ndarray, n: int):
     pts = np.asarray(points, dtype=np.float32)[:, :2]
     m = min(len(pts), n)
@@ -157,7 +181,7 @@ def icp(src_points, tgt_points, init_pose=None, cfg: IcpConfig = IcpConfig(), pa
     s, sv = _pad_points(np.asarray(src_points), pad_to)
     t, tv = _pad_points(np.asarray(tgt_points), max(pad_to, len(np.asarray(tgt_points))))
     init = geo.se2_identity() if init_pose is None else jnp.asarray(init_pose, jnp.float32)
-    return icp_masked(s, sv, t, tv, init, cfg)
+    return icp_masked_jit(s, sv, t, tv, init, cfg)
 
 
 def register(src_points, dst_points, init_pose=None, cfg: IcpConfig = IcpConfig()):
@@ -193,6 +217,6 @@ def gicp(points1, points2, threshold: float = 200.0, voxel_size: float = 20.0, t
     else:
         ti = jnp.asarray(np.asarray(trans_init, np.float32))
         init = geo.mat44_to_se2(ti) if ti.shape == (4, 4) else ti
-    res = icp_masked(s, sv, t, tv, init, cfg)
+    res = icp_masked_jit(s, sv, t, tv, init, cfg)
     t44 = np.asarray(geo.se2_to_mat44(res.pose), dtype=np.float64)
     return float(res.rmse), t44

@@ -38,8 +38,13 @@ def nearest_neighbor(
     tgt_xy: jnp.ndarray,
     tgt_valid: jnp.ndarray,
     src_valid: jnp.ndarray | None = None,
+    use_pallas: bool | None = None,
 ):
     """Nearest valid target for every source point.
+
+    On TPU (with lane-aligned shapes) this dispatches to the fused Pallas
+    kernel, which never materialises the ``(N, M)`` distance matrix in HBM;
+    elsewhere it falls back to the centred matmul + argmin XLA path.
 
     Args:
       src_xy: ``(N, 2)`` float32 mm.
@@ -52,14 +57,22 @@ def nearest_neighbor(
       ``(dist_mm, idx)``: ``(N,)`` float32 distances (mm) and ``(N,)`` int32
       indices into the target array.
     """
-    center = masked_mean(src_xy, src_valid if src_valid is not None else jnp.ones(src_xy.shape[0], bool))
-    s = (src_xy - center) * jnp.float32(1e-3)
-    t = (tgt_xy - center) * jnp.float32(1e-3)
-    d2 = pairwise_sqdist(s, t)
-    d2 = jnp.where(tgt_valid[None, :], d2, _BIG)
-    idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
-    dmin = jnp.min(d2, axis=1)
-    dist = jnp.sqrt(dmin) * jnp.float32(1e3)
+    n, m = src_xy.shape[0], tgt_xy.shape[0]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and n % 8 == 0 and m % 128 == 0
+    if use_pallas:
+        from icp_slam_yolo_tpu.ops.pallas.nn_kernel import nn_argmin_pallas
+
+        d2min, idx = nn_argmin_pallas(src_xy, tgt_xy, tgt_valid)
+        dist = jnp.sqrt(jnp.maximum(d2min, 0.0))
+    else:
+        center = masked_mean(src_xy, src_valid if src_valid is not None else jnp.ones(n, bool))
+        s = (src_xy - center) * jnp.float32(1e-3)
+        t = (tgt_xy - center) * jnp.float32(1e-3)
+        d2 = pairwise_sqdist(s, t)
+        d2 = jnp.where(tgt_valid[None, :], d2, _BIG)
+        idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        dist = jnp.sqrt(jnp.min(d2, axis=1)) * jnp.float32(1e3)
     if src_valid is not None:
         dist = jnp.where(src_valid, dist, _BIG)
     return dist, idx
