@@ -1,0 +1,117 @@
+"""YOLO-format dataset loading (images + normalised label txts).
+
+The reference's datasets (`dataset_pallet/{train,val}`, `obb_hop_chu_nhat/`)
+use the Ultralytics layout: ``images/*.jpg`` + ``labels/*.txt`` with rows
+``class cx cy w h`` normalised to [0, 1] (detect) or ``class x1 y1 ... x4 y4``
+polygons (OBB/segment, cf. `labels_segmentation.py:61-76`).  Batches are
+padded to ``max_gt`` boxes with a validity mask for the static-shape loss.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+from PIL import Image
+
+
+def find_pairs(root: str) -> list[tuple[str, str]]:
+    """``(image, label)`` path pairs.  Accepts both ``root/{images,labels}``
+    subdirs and flat dirs with txt next to jpg (the reference uses both)."""
+    pairs = []
+    img_dir = os.path.join(root, "images")
+    lbl_dir = os.path.join(root, "labels")
+    if os.path.isdir(img_dir) and os.path.isdir(lbl_dir):
+        for name in sorted(os.listdir(img_dir)):
+            stem, ext = os.path.splitext(name)
+            if ext.lower() in (".jpg", ".jpeg", ".png"):
+                lbl = os.path.join(lbl_dir, stem + ".txt")
+                pairs.append((os.path.join(img_dir, name), lbl))
+    else:
+        for name in sorted(os.listdir(root)):
+            stem, ext = os.path.splitext(name)
+            if ext.lower() in (".jpg", ".jpeg", ".png"):
+                pairs.append((os.path.join(root, name), os.path.join(root, stem + ".txt")))
+    return pairs
+
+
+def parse_label_file(path: str):
+    """Rows of ``class cx cy w h`` (normalised) -> ``(classes, cxcywh)``;
+    polygon rows (>5 cols) are reduced to their bounding box."""
+    classes, boxes = [], []
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                vals = line.split()
+                if len(vals) < 5:
+                    continue
+                cls = int(float(vals[0]))
+                coords = np.array([float(v) for v in vals[1:]])
+                if len(coords) == 4:
+                    cx, cy, w, h = coords
+                else:  # polygon: x1 y1 x2 y2 ...
+                    xs, ys = coords[0::2], coords[1::2]
+                    cx = (xs.min() + xs.max()) / 2
+                    cy = (ys.min() + ys.max()) / 2
+                    w = xs.max() - xs.min()
+                    h = ys.max() - ys.min()
+                classes.append(cls)
+                boxes.append([cx, cy, w, h])
+    return np.array(classes, np.int32).reshape(-1), np.array(boxes, np.float64).reshape(-1, 4)
+
+
+def load_example(img_path: str, lbl_path: str, img_size: int):
+    """Decode + nearest-resize one example; boxes to xyxy pixels at img_size."""
+    img = Image.open(img_path).convert("RGB")
+    w0, h0 = img.size
+    img = img.resize((img_size, img_size), Image.BILINEAR)
+    arr = np.asarray(img, np.float32) / 255.0
+    classes, cxcywh = parse_label_file(lbl_path)
+    if len(cxcywh):
+        cx, cy, bw, bh = (cxcywh[:, 0], cxcywh[:, 1], cxcywh[:, 2], cxcywh[:, 3])
+        boxes = np.stack(
+            [(cx - bw / 2) * img_size, (cy - bh / 2) * img_size,
+             (cx + bw / 2) * img_size, (cy + bh / 2) * img_size], axis=1
+        ).astype(np.float32)
+    else:
+        boxes = np.zeros((0, 4), np.float32)
+    return arr, classes, boxes
+
+
+class YoloDataset:
+    """Shuffled batch iterator with fixed-shape padded labels."""
+
+    def __init__(self, root: str, img_size: int = 640, batch_size: int = 16, max_gt: int = 32, seed: int = 0):
+        self.pairs = find_pairs(root)
+        if not self.pairs:
+            raise FileNotFoundError(f"no images under {root}")
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.max_gt = max_gt
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __iter__(self):
+        order = list(range(len(self.pairs)))
+        while True:
+            self.rng.shuffle(order)
+            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                yield self._batch([self.pairs[i] for i in order[start : start + self.batch_size]])
+
+    def _batch(self, pairs):
+        b, s, m = self.batch_size, self.img_size, self.max_gt
+        images = np.zeros((b, s, s, 3), np.float32)
+        boxes = np.zeros((b, m, 4), np.float32)
+        classes = np.zeros((b, m), np.int32)
+        valid = np.zeros((b, m), bool)
+        for i, (ip, lp) in enumerate(pairs):
+            img, cls, bxs = load_example(ip, lp, s)
+            images[i] = img
+            k = min(len(cls), m)
+            boxes[i, :k] = bxs[:k]
+            classes[i, :k] = cls[:k]
+            valid[i, :k] = True
+        return {"images": images, "boxes": boxes, "classes": classes, "valid": valid}

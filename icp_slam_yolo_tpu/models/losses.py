@@ -1,0 +1,176 @@
+"""Detection loss: task-aligned assignment + BCE / CIoU / DFL.
+
+Re-implements the v8 detection loss family the reference trains with
+(Ultralytics configs `train2/args.yaml`: box=7.5, cls=0.5, dfl=1.5): the
+task-aligned assigner (top-k candidates by ``score^alpha * iou^beta`` among
+anchors whose centre lies inside the gt box), BCE classification against the
+normalised alignment metric, CIoU box loss and distribution-focal loss on the
+ltrb bin distributions.  Fully masked/static: ground truths are padded to a
+fixed ``max_gt`` per image.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from icp_slam_yolo_tpu.models.yolo import dfl_decode, make_anchors
+
+
+class LossWeights(NamedTuple):
+    box: float = 7.5   # `train2/args.yaml` box
+    cls: float = 0.5   # `train2/args.yaml` cls
+    dfl: float = 1.5   # `train2/args.yaml` dfl
+
+
+def ciou(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Complete IoU between aligned xyxy box arrays ``(..., 4)``."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = jnp.maximum(a[..., 2] - a[..., 0], 0) * jnp.maximum(a[..., 3] - a[..., 1], 0)
+    area_b = jnp.maximum(b[..., 2] - b[..., 0], 0) * jnp.maximum(b[..., 3] - b[..., 1], 0)
+    union = area_a + area_b - inter
+    iou = inter / (union + eps)
+
+    # enclosing box diagonal + centre distance
+    elt = jnp.minimum(a[..., :2], b[..., :2])
+    erb = jnp.maximum(a[..., 2:], b[..., 2:])
+    ewh = erb - elt
+    c2 = ewh[..., 0] ** 2 + ewh[..., 1] ** 2 + eps
+    ca = (a[..., :2] + a[..., 2:]) / 2
+    cb = (b[..., :2] + b[..., 2:]) / 2
+    rho2 = jnp.sum((ca - cb) ** 2, axis=-1)
+
+    wa = jnp.maximum(a[..., 2] - a[..., 0], eps)
+    ha = jnp.maximum(a[..., 3] - a[..., 1], eps)
+    wb = jnp.maximum(b[..., 2] - b[..., 0], eps)
+    hb = jnp.maximum(b[..., 3] - b[..., 1], eps)
+    v = (4 / math.pi**2) * (jnp.arctan(wb / hb) - jnp.arctan(wa / ha)) ** 2
+    alpha = v / (v - iou + 1 + eps)
+    return iou - rho2 / c2 - jax.lax.stop_gradient(alpha) * v
+
+
+def task_aligned_assign(
+    pred_scores: jnp.ndarray,  # (A, C) sigmoid probabilities
+    pred_boxes: jnp.ndarray,   # (A, 4) xyxy decoded
+    anchors: jnp.ndarray,      # (A, 2) centres
+    gt_boxes: jnp.ndarray,     # (M, 4) xyxy
+    gt_classes: jnp.ndarray,   # (M,) int32
+    gt_valid: jnp.ndarray,     # (M,) bool
+    topk: int = 10,
+    alpha: float = 0.5,
+    beta: float = 6.0,
+):
+    """Returns ``(assigned_gt (A,), fg_mask (A,), target_scores (A, C))``."""
+    a = anchors.shape[0]
+    m = gt_boxes.shape[0]
+
+    inside = (
+        (anchors[None, :, 0] > gt_boxes[:, None, 0])
+        & (anchors[None, :, 0] < gt_boxes[:, None, 2])
+        & (anchors[None, :, 1] > gt_boxes[:, None, 1])
+        & (anchors[None, :, 1] < gt_boxes[:, None, 3])
+    ) & gt_valid[:, None]  # (M, A)
+
+    cls_score = pred_scores[:, gt_classes].T  # (M, A)
+    overlap = jax.vmap(lambda g: ciou(jnp.broadcast_to(g, pred_boxes.shape), pred_boxes))(gt_boxes)
+    overlap = jnp.clip(overlap, 0.0, 1.0)  # (M, A)
+    metric = (cls_score**alpha) * (overlap**beta)
+    metric = jnp.where(inside, metric, 0.0)
+
+    # top-k candidates per gt
+    k = min(topk, a)
+    thresh = jax.lax.top_k(metric, k)[0][:, -1:]  # (M, 1) k-th best
+    candidate = inside & (metric >= jnp.maximum(thresh, 1e-9)) & (metric > 0)
+
+    # conflict resolution: anchor goes to the gt with the highest metric
+    masked_metric = jnp.where(candidate, metric, -1.0)
+    assigned_gt = jnp.argmax(masked_metric, axis=0).astype(jnp.int32)  # (A,)
+    fg_mask = jnp.max(masked_metric, axis=0) > 0
+
+    # normalised target score (Ultralytics: metric scaled so max -> max overlap)
+    pos_metric = jnp.max(jnp.where(candidate, metric, 0.0), axis=1, keepdims=True)  # (M, 1)
+    pos_overlap = jnp.max(jnp.where(candidate, overlap, 0.0), axis=1, keepdims=True)
+    norm_metric = metric * pos_overlap / jnp.maximum(pos_metric, 1e-9)  # (M, A)
+    score_per_anchor = norm_metric[assigned_gt, jnp.arange(a)]
+    target_scores = (
+        jax.nn.one_hot(gt_classes[assigned_gt], pred_scores.shape[1])
+        * jnp.where(fg_mask, score_per_anchor, 0.0)[:, None]
+    )
+    return assigned_gt, fg_mask, target_scores
+
+
+def detection_loss(
+    outs,
+    gt_boxes: jnp.ndarray,    # (B, M, 4) xyxy pixels
+    gt_classes: jnp.ndarray,  # (B, M)
+    gt_valid: jnp.ndarray,    # (B, M)
+    img_size: int,
+    num_classes: int,
+    reg_max: int = 16,
+    weights: LossWeights = LossWeights(),
+):
+    """Total loss (scalar) + metric dict for a batch of head outputs."""
+    anchors, strides = make_anchors(img_size)
+
+    box_l = jnp.concatenate(
+        [o[0].reshape(o[0].shape[0], -1, 4 * reg_max) for o in outs], axis=1
+    ).astype(jnp.float32)  # (B, A, 64)
+    cls_l = jnp.concatenate(
+        [o[1].reshape(o[1].shape[0], -1, num_classes) for o in outs], axis=1
+    ).astype(jnp.float32)  # (B, A, C)
+
+    ltrb = dfl_decode(box_l, reg_max)  # (B, A, 4) in stride units
+    xy1 = anchors[None] - ltrb[..., :2] * strides[None, :, None]
+    xy2 = anchors[None] + ltrb[..., 2:] * strides[None, :, None]
+    pred_boxes = jnp.concatenate([xy1, xy2], axis=-1)
+    pred_scores = jax.nn.sigmoid(cls_l)
+
+    assigned_gt, fg, tgt_scores = jax.vmap(
+        lambda s, b, gb, gc, gv: task_aligned_assign(s, b, anchors, gb, gc, gv)
+    )(pred_scores, pred_boxes, gt_boxes, gt_classes, gt_valid)
+
+    norm = jnp.maximum(jnp.sum(tgt_scores), 1.0)
+
+    # classification: BCE against soft target scores over ALL anchors
+    bce = -(tgt_scores * jax.nn.log_sigmoid(cls_l) + (1 - tgt_scores) * jax.nn.log_sigmoid(-cls_l))
+    loss_cls = jnp.sum(bce) / norm
+
+    # box: CIoU on foreground anchors, weighted by target score
+    tgt_boxes = jnp.take_along_axis(gt_boxes, assigned_gt[..., None], axis=1)  # (B, A, 4)
+    w_fg = jnp.sum(tgt_scores, axis=-1) * fg  # (B, A)
+    iou_term = 1.0 - ciou(pred_boxes, tgt_boxes)
+    loss_box = jnp.sum(iou_term * w_fg) / norm
+
+    # DFL: cross-entropy between the two integer bins bracketing the target ltrb
+    tgt_ltrb = jnp.concatenate(
+        [
+            (anchors[None] - tgt_boxes[..., :2]) / strides[None, :, None],
+            (tgt_boxes[..., 2:] - anchors[None]) / strides[None, :, None],
+        ],
+        axis=-1,
+    )
+    tgt_ltrb = jnp.clip(tgt_ltrb, 0, reg_max - 1 - 0.01)
+    tl = jnp.floor(tgt_ltrb)
+    wr = tgt_ltrb - tl
+    logits = box_l.reshape(*box_l.shape[:-1], 4, reg_max)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tl_i = tl.astype(jnp.int32)
+    lp_l = jnp.take_along_axis(logp, tl_i[..., None], axis=-1)[..., 0]
+    lp_r = jnp.take_along_axis(logp, jnp.minimum(tl_i + 1, reg_max - 1)[..., None], axis=-1)[..., 0]
+    dfl = -(lp_l * (1 - wr) + lp_r * wr)  # (B, A, 4)
+    loss_dfl = jnp.sum(jnp.mean(dfl, axis=-1) * w_fg) / norm
+
+    total = weights.box * loss_box + weights.cls * loss_cls + weights.dfl * loss_dfl
+    return total, {
+        "loss": total,
+        "loss_box": loss_box,
+        "loss_cls": loss_cls,
+        "loss_dfl": loss_dfl,
+        "num_fg": jnp.sum(fg),
+    }

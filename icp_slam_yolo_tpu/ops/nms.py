@@ -1,0 +1,87 @@
+"""TPU-side non-maximum suppression with static shapes.
+
+Ultralytics runs NMS on the host after the PyTorch forward; here detection is
+one compiled program, so NMS is in-graph: top-K pre-selection, a masked IoU
+matrix, and a fixed-length sequential suppression sweep under ``lax.scan``
+(SURVEY.md section 7: "padded boxes, masked IoU matrix, fixed-iteration
+suppression").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray   # (K, 4) xyxy pixels
+    scores: jnp.ndarray  # (K,)
+    classes: jnp.ndarray # (K,) int32
+    valid: jnp.ndarray   # (K,) bool
+
+
+def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU of xyxy boxes: ``(N, 4) x (M, 4) -> (N, M)``."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    conf_threshold: float = 0.5,
+    iou_threshold: float = 0.45,
+    max_detections: int = 100,
+) -> Detections:
+    """Greedy class-aware NMS over flat per-anchor candidates.
+
+    Args:
+      boxes: ``(A, 4)`` xyxy.
+      scores: ``(A,)`` best-class confidence.
+      classes: ``(A,)`` int32 best class.
+
+    Returns top ``max_detections`` survivors, score-sorted, with a valid mask.
+    The default thresholds mirror the reference (`mainn.py:175`: conf=0.5).
+    """
+    k = min(max_detections, boxes.shape[0])
+    conf_ok = scores >= conf_threshold
+    cand_scores = jnp.where(conf_ok, scores, -1.0)
+    top_scores, top_idx = jax.lax.top_k(cand_scores, k)
+    top_boxes = boxes[top_idx]
+    top_classes = classes[top_idx]
+    cand_valid = top_scores > 0
+
+    iou = box_iou(top_boxes, top_boxes)
+    same_class = top_classes[:, None] == top_classes[None, :]
+    suppressor = (iou > iou_threshold) & same_class
+
+    def body(keep, i):
+        # candidate i survives unless a kept, earlier (higher-score) box overlaps
+        earlier = jnp.arange(k) < i
+        suppressed = jnp.any(keep & earlier & suppressor[i])
+        keep = keep.at[i].set(cand_valid[i] & ~suppressed)
+        return keep, None
+
+    keep, _ = jax.lax.scan(body, jnp.zeros(k, bool), jnp.arange(k))
+    return Detections(
+        boxes=jnp.where(keep[:, None], top_boxes, 0.0),
+        scores=jnp.where(keep, top_scores, 0.0),
+        classes=jnp.where(keep, top_classes, -1),
+        valid=keep,
+    )
+
+
+def best_class(scores_ac: jnp.ndarray):
+    """Per-anchor best class + confidence from ``(A, C)`` class scores."""
+    cls = jnp.argmax(scores_ac, axis=-1).astype(jnp.int32)
+    conf = jnp.max(scores_ac, axis=-1)
+    return conf, cls
