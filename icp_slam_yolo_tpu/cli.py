@@ -1,0 +1,201 @@
+"""Command-line interface: replay / serve / bench / train / detect / data tools.
+
+The reference is a collection of bare scripts with hand-edited constants
+(SURVEY.md section 5: "No argparse anywhere"); this CLI packages the same
+entry points:
+
+  replay       offline SLAM over a scan directory (`slam_offline.py` parity)
+  serve        HTTP control panel + background replay (`mainn.py` parity)
+  bench        performance benchmark (prints one JSON line)
+  train        YOLO training on a YOLO-layout dataset (`train2/args.yaml` parity)
+  detect       run the detector over images
+  label-check  validate/fix YOLO label files (`check_labels.py` parity)
+  split        shuffled train/val dataset split (`labels_segmentation/chia.py` parity)
+
+Run: ``python -m icp_slam_yolo_tpu.cli <command> --help``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def cmd_replay(args):
+    import numpy as np
+
+    from icp_slam_yolo_tpu.config import OFFLINE_CONFIG
+    from icp_slam_yolo_tpu.io import scans as scans_io
+    from icp_slam_yolo_tpu.slam.api import Slam
+
+    cfg = OFFLINE_CONFIG.replace(map_capacity=args.map_capacity)
+    scans, counts, paths = scans_io.load_sequence(args.scan_dir, args.start, args.end, cfg.n_max)
+    print(f"loaded {len(paths)} scans from {args.scan_dir}")
+    eng = Slam(cfg)
+    t0 = time.time()
+    state, outs = eng.run(scans)
+    dt = time.time() - t0
+    acc = np.asarray(outs.accepted)
+    rmse = np.asarray(outs.rmse)
+    fin = np.isfinite(rmse)
+    print(
+        f"replayed {len(scans)} scans in {dt:.2f}s ({len(scans) / dt:.1f} scans/s): "
+        f"accepted {int(acc.sum())}/{len(acc)}, median rmse {float(np.median(rmse[fin])):.2f} mm, "
+        f"map {len(eng.map_points())} points"
+    )
+    eng.save_map(args.output)
+    eng.save_pcd(args.output + ".pcd")
+    np.save(args.output + "_trajectory.npy", np.asarray(eng.trajectory))
+    print(f"saved {args.output}.png / .npy / .pcd / _trajectory.npy")
+
+
+def cmd_serve(args):
+    from icp_slam_yolo_tpu.config import OFFLINE_CONFIG
+    from icp_slam_yolo_tpu.serve.app import serve
+    from icp_slam_yolo_tpu.serve.state import ServerState
+
+    state = ServerState(OFFLINE_CONFIG.replace(map_capacity=args.map_capacity), work_dir=args.work_dir)
+    if args.scan_dir:
+        state.start_replay(args.scan_dir, args.start, args.end, rate_hz=args.rate)
+    serve(state, args.host, args.port)
+
+
+def cmd_bench(args):
+    sys.argv = ["bench.py"] + (["--all"] if args.all else [])
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import bench
+
+    bench.main()
+
+
+def cmd_train(args):
+    from icp_slam_yolo_tpu.io.yolo_data import YoloDataset
+    from icp_slam_yolo_tpu.models.train import create_train_state, fit
+    from icp_slam_yolo_tpu.models.yolo import YOLO
+
+    ds = YoloDataset(args.data, img_size=args.img_size, batch_size=args.batch_size, max_gt=args.max_gt)
+    steps = args.steps or (len(ds) // args.batch_size) * args.epochs
+    model = YOLO(num_classes=args.num_classes, variant=args.variant, task=args.task)
+    state, history = fit(model, iter(ds), args.img_size, steps)
+    if args.output:
+        from icp_slam_yolo_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(args.output, state.params, state.batch_stats,
+                        meta={"img_size": args.img_size, "num_classes": args.num_classes,
+                              "variant": args.variant, "task": args.task})
+        print(f"saved checkpoint to {args.output}")
+
+
+def cmd_detect(args):
+    import numpy as np
+    from PIL import Image
+
+    from icp_slam_yolo_tpu.models.detect import Detector
+
+    params = None
+    if args.weights:
+        from icp_slam_yolo_tpu.io.checkpoint import load_checkpoint
+
+        params, _, meta = load_checkpoint(args.weights)
+    det = Detector(num_classes=args.num_classes, img_size=args.img_size,
+                   conf_threshold=args.conf, params=params)
+    for path in args.images:
+        out = det(np.asarray(Image.open(path)))
+        print(json.dumps({
+            "image": path,
+            "boxes": out["boxes"].tolist(),
+            "scores": out["scores"].tolist(),
+            "classes": out["classes"].tolist(),
+        }))
+
+
+def cmd_label_check(args):
+    from icp_slam_yolo_tpu.data.labels import check_labels
+
+    report = check_labels(args.directory, fix=args.fix)
+    for line in report.messages:
+        print(line)
+    print(f"checked {report.n_files} files: {report.n_bad} with out-of-range coords"
+          + (", fixed" if args.fix else ""))
+    if report.n_bad and not args.fix:
+        sys.exit(1)
+
+
+def cmd_split(args):
+    from icp_slam_yolo_tpu.data.split import split_dataset
+
+    n_train, n_val = split_dataset(args.source, args.output, train_ratio=args.ratio, seed=args.seed)
+    print(f"split {n_train + n_val} examples -> {n_train} train / {n_val} val under {args.output}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="icp_slam_yolo_tpu", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    r = sub.add_parser("replay", help="offline SLAM replay")
+    r.add_argument("scan_dir")
+    r.add_argument("--start", type=int, default=1)
+    r.add_argument("--end", type=int, default=None)
+    r.add_argument("--output", default="global_map_offline")
+    r.add_argument("--map-capacity", type=int, default=8192)
+    r.set_defaults(fn=cmd_replay)
+
+    s = sub.add_parser("serve", help="HTTP control panel")
+    s.add_argument("--scan-dir", default=None)
+    s.add_argument("--start", type=int, default=1)
+    s.add_argument("--end", type=int, default=None)
+    s.add_argument("--rate", type=float, default=10.0, help="replay rate Hz")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=5000)
+    s.add_argument("--work-dir", default=".")
+    s.add_argument("--map-capacity", type=int, default=8192)
+    s.set_defaults(fn=cmd_serve)
+
+    b = sub.add_parser("bench", help="performance benchmark")
+    b.add_argument("--all", action="store_true")
+    b.set_defaults(fn=cmd_bench)
+
+    t = sub.add_parser("train", help="train the YOLO detector")
+    t.add_argument("data", help="dataset root (images/ + labels/)")
+    t.add_argument("--img-size", type=int, default=640)
+    t.add_argument("--batch-size", type=int, default=16)   # `train2/args.yaml` batch
+    t.add_argument("--epochs", type=int, default=400)      # `train2/args.yaml` epochs
+    t.add_argument("--steps", type=int, default=None)
+    t.add_argument("--num-classes", type=int, default=1)
+    t.add_argument("--variant", default="n")
+    t.add_argument("--task", default="detect", choices=["detect", "obb"])
+    t.add_argument("--max-gt", type=int, default=32)
+    t.add_argument("--output", default=None)
+    t.set_defaults(fn=cmd_train)
+
+    d = sub.add_parser("detect", help="run detection on images")
+    d.add_argument("images", nargs="+")
+    d.add_argument("--weights", default=None)
+    d.add_argument("--img-size", type=int, default=640)
+    d.add_argument("--num-classes", type=int, default=1)
+    d.add_argument("--conf", type=float, default=0.5)
+    d.set_defaults(fn=cmd_detect)
+
+    lc = sub.add_parser("label-check", help="validate YOLO label files")
+    lc.add_argument("directory")
+    lc.add_argument("--fix", action="store_true")
+    lc.set_defaults(fn=cmd_label_check)
+
+    sp = sub.add_parser("split", help="train/val dataset split")
+    sp.add_argument("source")
+    sp.add_argument("output")
+    sp.add_argument("--ratio", type=float, default=0.8)  # `chia.py` 80/20
+    sp.add_argument("--seed", type=int, default=42)      # `chia.py` seed
+    sp.set_defaults(fn=cmd_split)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

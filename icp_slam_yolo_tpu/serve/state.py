@@ -1,0 +1,191 @@
+"""Shared server state: the SLAM engine, POIs, target, stream flags.
+
+This replaces the reference's module-global state + ``threading.RLock``
+(`mainn.py:20-25,388-391`): one lock-guarded object owning the engine, the
+points of interest (persisted to ``points_of_interest.json`` in the reference's
+format — a JSON list of ``[x_mm, y_mm]``, `mainn.py:71-87`), the active target
+and the pause/capture flags.  A background thread replays a scan source
+through the compiled pipeline (the reference's SLAM daemon thread,
+`mainn.py:738`).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import threading
+import time
+
+import numpy as np
+
+from icp_slam_yolo_tpu.config import CAMERA_TRIGGER_DISTANCE_MM, ROBOT_AXIS_LENGTH_MM, SlamConfig
+from icp_slam_yolo_tpu.io import maps as maps_io
+from icp_slam_yolo_tpu.slam.api import Slam
+
+POI_FILE = "points_of_interest.json"
+
+
+class ServerState:
+    def __init__(self, cfg: SlamConfig = SlamConfig(), work_dir: str = ".", poi_file: str | None = None):
+        self.cfg = cfg
+        self.work_dir = work_dir
+        self.lock = threading.RLock()
+        self.engine = Slam(cfg)
+        self.points_of_interest: list[list[float]] = []
+        self.active_target: dict | None = None
+        self.paused = threading.Event()
+        self.stopped = threading.Event()
+        self.capture_requested = False
+        self.show_map = True
+        self.show_icp = True
+        self.update_mode = 1  # 1 = mapping, 0 = localization (`mainn.py:679-695`)
+        self.distance_to_target: float | None = None
+        self.camera_trigger = False
+        self.last_scan_points_px: list[tuple[int, int]] = []
+        self._thread: threading.Thread | None = None
+        self.poi_path = poi_file or os.path.join(work_dir, POI_FILE)
+        self.load_pois()
+
+    # --- POIs (`mainn.py:71-87,464-522`) ---------------------------------
+    def load_pois(self) -> None:
+        if os.path.exists(self.poi_path):
+            with open(self.poi_path) as f:
+                self.points_of_interest = json.load(f)
+
+    def save_pois(self) -> None:
+        with self.lock:
+            with open(self.poi_path, "w") as f:
+                json.dump(self.points_of_interest, f, indent=2)
+
+    def add_poi(self) -> list[float]:
+        with self.lock:
+            pos = [float(self.engine.pose[0]), float(self.engine.pose[1])]
+            self.points_of_interest.append(pos)
+            self.save_pois()
+            return pos
+
+    def set_target(self, point_id: int | None):
+        with self.lock:
+            if point_id is None:
+                self.active_target = None
+                return True
+            if 0 <= point_id < len(self.points_of_interest):
+                self.active_target = {"id": point_id, "pos_mm": self.points_of_interest[point_id]}
+                return True
+            self.active_target = None
+            return False
+
+    # --- pixel conversions (`mainn.py:612-637` payload) -------------------
+    def world_to_px(self, x: float, y: float) -> tuple[int, int]:
+        cx, cy = self.cfg.map.center_px
+        res = self.cfg.map.resolution_mm_per_px
+        return int(cx + x / res), int(cy - y / res)
+
+    def pose_payload(self) -> dict:
+        x, y, theta = self.engine.pose
+        px, py = self.world_to_px(x, y)
+        ex = int(px + ROBOT_AXIS_LENGTH_MM * math.cos(theta) / self.cfg.map.resolution_mm_per_px)
+        ey = int(py - ROBOT_AXIS_LENGTH_MM * math.sin(theta) / self.cfg.map.resolution_mm_per_px)
+        return {"x": px, "y": py, "ex": ex, "ey": ey}
+
+    def stream_payload(self) -> dict:
+        with self.lock:
+            payload: dict = {}
+            if self.last_scan_points_px:
+                payload["points"] = self.last_scan_points_px
+            payload["pose"] = self.pose_payload()
+            if self.distance_to_target is not None:
+                payload["distance"] = f"{self.distance_to_target:.2f}"
+            if self.engine.rmse_history:
+                payload["rmse"] = f"{self.engine.rmse_history[-1]:.2f}"
+            return payload
+
+    # --- SLAM worker -------------------------------------------------------
+    def feed_scan(self, scan: np.ndarray) -> dict:
+        """One scan through the engine + bookkeeping (target distance, trigger)."""
+        out = self.engine.add_scan(scan)
+        with self.lock:
+            pose = out["pose"]
+            from icp_slam_yolo_tpu.reference_impl.oracle import polar_gate, se2_apply
+
+            pts = polar_gate(scan, self.cfg.gate)
+            world = se2_apply(np.asarray(pose, float), pts)
+            self.last_scan_points_px = [self.world_to_px(p[0], p[1]) for p in world]
+            if self.active_target is not None:
+                tx, ty = self.active_target["pos_mm"]
+                self.distance_to_target = math.hypot(tx - pose[0], ty - pose[1])
+                # camera trigger within 1 m of target (`mainn.py:376-379`)
+                self.camera_trigger = self.distance_to_target < CAMERA_TRIGGER_DISTANCE_MM
+            else:
+                self.distance_to_target = None
+                self.camera_trigger = False
+        return out
+
+    def start_replay(self, scan_dir: str, start: int = 1, end: int | None = None, rate_hz: float = 10.0):
+        """Background replay thread (the reference's `update_map` daemon)."""
+        from icp_slam_yolo_tpu.io import scans as scans_io
+
+        def worker():
+            paths = (
+                scans_io.sequence_paths(scan_dir, start, end)
+                if end is not None
+                else scans_io.discover_sequence(scan_dir)[start - 1 :]
+            )
+            for p in paths:
+                if self.stopped.is_set():
+                    break
+                while self.paused.is_set() and not self.stopped.is_set():
+                    time.sleep(0.05)
+                try:
+                    self.feed_scan(scans_io.load_scan(p))
+                except Exception:
+                    continue  # per-scan error-and-continue (`mainn.py:392-399`)
+                time.sleep(max(0.0, 1.0 / rate_hz))
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    # --- map persistence ----------------------------------------------------
+    def save_map(self, base_name: str) -> None:
+        path = os.path.join(self.work_dir, base_name)
+        self.engine.save_map(path, self.cfg.map)
+
+    def map_png_bytes(self) -> bytes:
+        import io as _io
+
+        from PIL import Image
+
+        img = Image.fromarray(maps_io.occupancy_to_image(self.engine.occupancy()), mode="L")
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def load_map(self, filepath: str) -> None:
+        """Load a PNG occupancy or PCD point map and switch to localization
+        (`mainn.py:679-695`)."""
+        if filepath.lower().endswith((".png", ".jpg", ".jpeg")):
+            occ = maps_io.load_occupancy_png(filepath)
+            with self.lock:
+                if self.engine.state is not None:
+                    import jax.numpy as jnp
+
+                    self.engine.state = self.engine.state._replace(occ=jnp.asarray(occ, jnp.float32))
+        elif filepath.lower().endswith(".pcd"):
+            pts = maps_io.load_pcd(filepath)
+            with self.lock:
+                if self.engine.state is not None:
+                    import jax.numpy as jnp
+
+                    cap = self.cfg.map_capacity
+                    xy = np.zeros((cap, 2), np.float32)
+                    n = min(len(pts), cap)
+                    xy[:n] = pts[:n, :2]
+                    valid = np.zeros(cap, bool)
+                    valid[:n] = True
+                    self.engine.state = self.engine.state._replace(
+                        map_xy=jnp.asarray(xy), map_valid=jnp.asarray(valid)
+                    )
+        else:
+            raise ValueError("unsupported map format")
+        self.update_mode = 0

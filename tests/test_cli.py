@@ -1,0 +1,36 @@
+"""CLI smoke tests (fast subcommands only; replay/serve covered elsewhere)."""
+
+import os
+
+import pytest
+from PIL import Image
+
+from icp_slam_yolo_tpu.cli import main
+
+
+def test_label_check_cli(tmp_path, capsys):
+    (tmp_path / "ok.txt").write_text("0 0.5 0.5 0.1 0.1\n")
+    main(["label-check", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert "checked 1 files: 0" in out
+
+
+def test_label_check_cli_bad_exit(tmp_path):
+    (tmp_path / "bad.txt").write_text("0 2.0 0.5 0.1 0.1\n")
+    with pytest.raises(SystemExit) as e:
+        main(["label-check", str(tmp_path)])
+    assert e.value.code == 1
+    main(["label-check", str(tmp_path), "--fix"])  # exits 0 after repair
+
+
+def test_split_cli(tmp_path, capsys):
+    src = tmp_path / "src"
+    (src / "images").mkdir(parents=True)
+    (src / "labels").mkdir()
+    for i in range(5):
+        Image.new("RGB", (4, 4)).save(src / "images" / f"i{i}.jpg")
+        (src / "labels" / f"i{i}.txt").write_text("0 0.5 0.5 0.1 0.1\n")
+    main(["split", str(src), str(tmp_path / "out"), "--ratio", "0.6"])
+    out = capsys.readouterr().out
+    assert "3 train / 2 val" in out
+    assert len(os.listdir(tmp_path / "out" / "train" / "images")) == 3

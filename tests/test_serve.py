@@ -1,0 +1,134 @@
+"""HTTP surface: route parity with the reference's Flask server (`mainn.py:404-700`)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from icp_slam_yolo_tpu.config import IcpConfig, MapConfig, OccupancyConfig, SlamConfig
+from icp_slam_yolo_tpu.serve.app import make_server
+from icp_slam_yolo_tpu.serve.state import ServerState
+
+CFG = SlamConfig(
+    map=MapConfig(width_mm=6000.0, height_mm=6000.0),
+    icp=IcpConfig(max_iterations=5),
+    occupancy=OccupancyConfig(window_px=60, max_ray_px=80),
+    n_max=128,
+    map_capacity=512,
+)
+
+
+@pytest.fixture()
+def server(tmp_path, scan_sequence):
+    state = ServerState(CFG, work_dir=str(tmp_path))
+    state.feed_scan(scan_sequence[0])
+    state.feed_scan(scan_sequence[1])
+    srv = make_server(state, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield state, f"http://127.0.0.1:{port}"
+    state.stopped.set()
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return r.status, r.read()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:  # 4xx still carries a JSON body
+        return e.code, json.loads(e.read())
+
+
+def test_index_and_map_image(server):
+    _, base = server
+    status, body = _get(base + "/")
+    assert status == 200 and b"tpu-slam" in body
+    status, body = _get(base + "/map_image")
+    assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_poi_roundtrip(server):
+    state, base = server
+    status, out = _post(base + "/add_point", {})
+    assert status == 200 and out["status"] == "success"
+    status, body = _get(base + "/get_points_of_interest")
+    pts = json.loads(body)["points"]
+    assert len(pts) == 1 and "pos_px" in pts[0]
+    status, out = _post(base + "/set_active_target", {"id": 0})
+    assert out["status"] == "success"
+    status, out = _post(base + "/set_active_target", {"id": 99})
+    assert out["status"] == "error"
+    status, out = _post(base + "/set_active_target", {"id": None})
+    assert out["status"] == "success"
+
+
+def test_save_and_reload_map(server, tmp_path):
+    state, base = server
+    status, _ = _get(base + "/save_map?filename=testmap.png")
+    assert status == 200
+    assert (tmp_path / "testmap.png").exists()
+    assert (tmp_path / "testmap.npy").exists()
+    pix = np.load(tmp_path / "testmap.npy")
+    assert pix.dtype == np.int32 and pix.shape[1] == 2  # reference pixel format
+
+    status, body = _get(base + "/list_saved_files")
+    assert "testmap.png" in json.loads(body)["files"]
+
+    status, body = _get(base + "/get_map_points/testmap")
+    assert len(json.loads(body)["points"]) == len(pix) - 1  # reference drops last row
+
+    status, body = _get(base + "/get_map_image/testmap.png")
+    assert status == 200 and body[:4] == b"\x89PNG"
+
+    status, body = _get(base + "/load_map/testmap.png")
+    assert status == 200
+    assert state.update_mode == 0  # switched to localization
+
+
+def test_stream_pause_resume(server):
+    state, base = server
+    _get(base + "/stop_stream")
+    assert state.paused.is_set()
+    _get(base + "/resume_stream")
+    assert not state.paused.is_set()
+
+
+def test_sse_payload(server):
+    state, base = server
+    req = urllib.request.urlopen(base + "/points_stream", timeout=10)
+    line = req.readline().decode()
+    while not line.startswith("data:"):
+        line = req.readline().decode()
+    payload = json.loads(line[5:])
+    req.close()
+    assert "pose" in payload and set(payload["pose"]) == {"x", "y", "ex", "ey"}
+    assert "points" in payload and isinstance(payload["points"][0], list)
+
+
+def test_target_distance_tracking(server, scan_sequence):
+    state, base = server
+    _post(base + "/add_point", {})
+    _post(base + "/set_active_target", {"id": 0})
+    state.feed_scan(scan_sequence[2])
+    assert state.distance_to_target is not None
+    assert state.camera_trigger  # within 1 m of a POI dropped at the pose
+
+
+def test_save_frame_and_toggle(server, tmp_path):
+    _, base = server
+    status, body = _get(base + "/save_frame")
+    fname = json.loads(body)["filename"]
+    assert (tmp_path / fname).exists()
+    status, out = _post(base + "/toggle_visibility", {"map": False})
+    assert out["show_map"] is False
