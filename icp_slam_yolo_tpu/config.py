@@ -138,8 +138,8 @@ class SlamConfig:
     use_duplicate_filter: bool = False     # offline comments it out (`slam_offline.py:394`)
     realtime_semantics: bool = False
 
-    n_max: int = 512        # max points per scan (observed max 405)
-    map_capacity: int = 16384
+    n_max: int = 512          # max points per scan (observed max 405)
+    map_capacity: int = 24576  # the reference's saved map has 18908 points
 
     def replace(self, **kw) -> "SlamConfig":
         return dataclasses.replace(self, **kw)
@@ -152,6 +152,9 @@ REALTIME_CONFIG = SlamConfig(
     icp=IcpConfig(threshold_mm=180.0, voxel_size_mm=20.0),  # `Config.py:11,24`
     local_map_radius_mm=9000.0,
     dynamic_distance_mm=300.0,
+    map_downsample_voxel_mm=25.0,   # `Config.py:10` ICP_VOXEL_SIZE
+    use_outlier_filter=True,        # `mainn.py:291`
+    use_duplicate_filter=True,      # `mainn.py:320`
     realtime_semantics=True,
 )
 

@@ -82,7 +82,8 @@ def load_example(img_path: str, lbl_path: str, img_size: int):
 class YoloDataset:
     """Shuffled batch iterator with fixed-shape padded labels."""
 
-    def __init__(self, root: str, img_size: int = 640, batch_size: int = 16, max_gt: int = 32, seed: int = 0):
+    def __init__(self, root: str, img_size: int = 640, batch_size: int = 16, max_gt: int = 32,
+                 seed: int = 0, augment: bool = False):
         self.pairs = find_pairs(root)
         if not self.pairs:
             raise FileNotFoundError(f"no images under {root}")
@@ -90,6 +91,7 @@ class YoloDataset:
         self.batch_size = batch_size
         self.max_gt = max_gt
         self.rng = random.Random(seed)
+        self.augment = augment  # hflip (`train2/args.yaml` fliplr: 0.5)
 
     def __len__(self):
         return len(self.pairs)
@@ -109,6 +111,12 @@ class YoloDataset:
         valid = np.zeros((b, m), bool)
         for i, (ip, lp) in enumerate(pairs):
             img, cls, bxs = load_example(ip, lp, s)
+            if self.augment and self.rng.random() < 0.5:
+                img = img[:, ::-1]
+                if len(bxs):
+                    x1 = s - bxs[:, 2]
+                    x2 = s - bxs[:, 0]
+                    bxs = np.stack([x1, bxs[:, 1], x2, bxs[:, 3]], axis=1)
             images[i] = img
             k = min(len(cls), m)
             boxes[i, :k] = bxs[:k]

@@ -49,14 +49,14 @@ class Detector:
             self.batch_stats = params.get("batch_stats", {})
         self._predict = jax.jit(partial(self._predict_impl))
 
-    def _predict_impl(self, params, batch_stats, images):
+    def _predict_impl(self, params, batch_stats, images, conf_threshold, iou_threshold):
         variables = {"params": params, "batch_stats": batch_stats}
         outs = self.model.apply(variables, images, train=False)
         boxes, scores, extras = decode_predictions(outs, self.img_size)
 
         def one(b, s):
             conf, cls = best_class(s)
-            return nms(b, conf, cls, self.conf_threshold, self.iou_threshold, self.max_detections)
+            return nms(b, conf, cls, conf_threshold, iou_threshold, self.max_detections)
 
         dets = jax.vmap(one)(boxes, scores)
         return dets, extras
@@ -81,7 +81,10 @@ class Detector:
         ``scores``, ``classes`` — N = number of valid detections.
         """
         batch, (sx, sy) = self.preprocess(frame)
-        dets, extras = self._predict(self.params, self.batch_stats, jnp.asarray(batch))
+        dets, extras = self._predict(
+            self.params, self.batch_stats, jnp.asarray(batch),
+            jnp.float32(self.conf_threshold), jnp.float32(self.iou_threshold),
+        )
         valid = np.asarray(dets.valid[0])
         boxes = np.asarray(dets.boxes[0])[valid]
         boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
@@ -95,6 +98,11 @@ class Detector:
         return out
 
     def predict_batch(self, images: jnp.ndarray) -> Detections:
-        """Jitted path for already-preprocessed ``(B, S, S, 3)`` batches."""
-        dets, _ = self._predict(self.params, self.batch_stats, images)
+        """Jitted path for already-preprocessed ``(B, S, S, 3)`` batches.
+        Thresholds are traced arguments, so mutating ``conf_threshold`` (e.g.
+        for an AP sweep) takes effect without retracing."""
+        dets, _ = self._predict(
+            self.params, self.batch_stats, images,
+            jnp.float32(self.conf_threshold), jnp.float32(self.iou_threshold),
+        )
         return dets

@@ -79,11 +79,13 @@ def nearest_neighbor(
 
 
 def knn_mean_distance(xy: jnp.ndarray, valid: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Mean distance (mm) to the ``k`` nearest *other* valid points.
+    """Mean distance (mm) to the (up to) ``k`` nearest *other* valid points.
 
     Backs the statistical outlier filter (Open3D
-    ``remove_statistical_outlier`` semantics, `process.py:62-66`).
-    Invalid points get ``1e30``.
+    ``remove_statistical_outlier`` semantics, `process.py:62-66`).  When fewer
+    than ``k`` real neighbours exist the mean is over the available ones only
+    (phantom-padded slots are excluded — mixing a 1e18 sentinel into an f32
+    mean would absorb the real distances entirely).  Invalid points get ``1e30``.
     """
     center = masked_mean(xy, valid)
     p = (xy - center) * jnp.float32(1e-3)
@@ -92,7 +94,9 @@ def knn_mean_distance(xy: jnp.ndarray, valid: jnp.ndarray, k: int) -> jnp.ndarra
     eye = jnp.eye(n, dtype=bool)
     d2 = jnp.where(eye | ~valid[None, :], _BIG, d2)
     # top-k smallest = -top_k(-d2)
-    neg_topk, _ = jax.lax.top_k(-d2, k)
-    dk = jnp.sqrt(jnp.maximum(-neg_topk, 0.0)) * jnp.float32(1e3)
-    mean_k = jnp.mean(dk, axis=1)
+    neg_topk, _ = jax.lax.top_k(-d2, min(k, n))
+    d2k = -neg_topk
+    real = d2k < jnp.float32(1e29)
+    dk = jnp.sqrt(jnp.maximum(d2k, 0.0)) * jnp.float32(1e3)
+    mean_k = jnp.sum(jnp.where(real, dk, 0.0), axis=1) / jnp.maximum(jnp.sum(real, axis=1), 1)
     return jnp.where(valid, mean_k, _BIG)

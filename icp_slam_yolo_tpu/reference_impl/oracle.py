@@ -266,3 +266,78 @@ def run_sequence(scans, cfg: SlamConfig = SlamConfig()):
         rmses.append(out["rmse"])
         accepts.append(out["accepted"])
     return state, np.array(poses), np.array(rmses), np.array(accepts)
+
+
+# --- realtime semantics (`mainn.py:267-399`) -----------------------------------
+
+def statistical_outlier_keep(xy: np.ndarray, nb_neighbors: int, std_ratio: float, pad_to: int) -> np.ndarray:
+    """Keep-mask matching ops/outliers.statistical_outlier_mask: mean distance
+    to the up-to-k nearest real neighbours, threshold mean + ratio * std."""
+    n = len(xy)
+    if n == 0:
+        return np.zeros(0, bool)
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    take = min(nb_neighbors, n - 1)
+    if take == 0:
+        return np.ones(n, bool)
+    dists = np.sqrt(np.sort(d2, axis=1))
+    mean_knn = dists[:, :take].mean(axis=1)
+    mu = mean_knn.mean()
+    var = ((mean_knn - mu) ** 2).mean()
+    return mean_knn <= mu + std_ratio * np.sqrt(var)
+
+
+def step_realtime(state: OracleState, scan: np.ndarray, cfg: SlamConfig, counter: int):
+    xy = polar_gate(scan, cfg.gate)
+    if cfg.use_outlier_filter and len(xy):
+        xy = xy[statistical_outlier_keep(xy, cfg.outlier_nb_neighbors, cfg.outlier_std_ratio, cfg.n_max)]
+    if len(xy) < cfg.icp.min_points:
+        return state, dict(pose=state.pose.copy(), rmse=float("inf"), accepted=False), counter
+
+    d2 = ((state.map_xy - state.pose[:2]) ** 2).sum(-1)
+    local = state.map_xy[d2 < cfg.local_map_radius_mm**2]
+    tgt = local if len(local) >= cfg.min_local_map_points else state.map_xy
+    src = voxel_downsample(xy, cfg.icp.voxel_size_mm)
+    pose, rmse = icp(src, tgt, state.pose, cfg.icp)
+    accepted = rmse <= cfg.icp.max_rmse
+
+    map_xy = state.map_xy
+    if accepted:
+        new_global = se2_apply(pose, xy)
+        dd = voxel_downsample(new_global, cfg.duplicate_voxel_mm)
+        if state.prev_xy is not None and len(state.prev_xy) and len(dd):
+            dist, _ = nn_bruteforce(dd, state.prev_xy)
+            dd = dd[dist < cfg.dynamic_distance_mm]
+        dd = dd[occupancy_keep_mask(dd, state.occ, cfg.map, cfg.occupancy.free_threshold)]
+        map_xy = np.concatenate([map_xy, dd], axis=0)
+        cur = new_global
+        new_pose = pose
+    else:
+        cur = state.prev_xy if state.prev_xy is not None else np.zeros((0, 2))
+        new_pose = state.pose
+
+    occ_pts = voxel_downsample(cur, 2.0 * cfg.map.resolution_mm_per_px) if len(cur) else cur
+    occ = update_occupancy(state.occ, occ_pts, new_pose[:2], cfg.map, cfg.occupancy)
+
+    counter += 1
+    if counter % 10 == 0:
+        map_xy = map_xy[occupancy_keep_mask(map_xy, occ, cfg.map, cfg.occupancy.free_threshold)]
+        if len(map_xy) > cfg.map_downsample_trigger:
+            map_xy = voxel_downsample(map_xy, cfg.map_downsample_voxel_mm)
+    map_xy = map_xy[: cfg.map_capacity]
+
+    new = OracleState(pose=new_pose.copy(), map_xy=map_xy, occ=occ, prev_xy=cur)
+    return new, dict(pose=new_pose.copy(), rmse=rmse, accepted=accepted), counter
+
+
+def run_sequence_realtime(scans, cfg: SlamConfig):
+    state = init_state(scans[0], cfg)
+    poses, rmses, accepts = [], [], []
+    counter = 0
+    for scan in scans[1:]:
+        state, out, counter = step_realtime(state, scan, cfg, counter)
+        poses.append(out["pose"])
+        rmses.append(out["rmse"])
+        accepts.append(out["accepted"])
+    return state, np.array(poses), np.array(rmses), np.array(accepts)

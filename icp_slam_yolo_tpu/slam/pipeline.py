@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from icp_slam_yolo_tpu.config import SlamConfig
+from icp_slam_yolo_tpu.config import MAP_MAINTENANCE_INTERVAL, SlamConfig
 from icp_slam_yolo_tpu.core.registration import icp_masked
 from icp_slam_yolo_tpu.ops import geometry as geo
 from icp_slam_yolo_tpu.ops.outliers import dynamic_points_mask, statistical_outlier_mask
@@ -41,7 +41,9 @@ class SlamState(NamedTuple):
     occ: jnp.ndarray        # (H, W) float32 occupancy probabilities
     prev_xy: jnp.ndarray    # (N, 2) previous accepted scan in global frame
     prev_valid: jnp.ndarray # (N,) bool
-    step: jnp.ndarray       # int32 scan counter
+    step: jnp.ndarray        # int32 scan counter (every scan)
+    maint_count: jnp.ndarray  # int32 processed-scan counter for the every-10-
+    # scans maintenance (`mainn.py:342`; skipped scans don't count)
 
 
 class StepOutput(NamedTuple):
@@ -69,6 +71,7 @@ def init_state(first_scan: jnp.ndarray, cfg: SlamConfig = SlamConfig()) -> SlamS
         prev_xy=jnp.zeros_like(xy),
         prev_valid=jnp.zeros(xy.shape[0], bool),
         step=jnp.int32(0),
+        maint_count=jnp.int32(0),
     )
 
 
@@ -129,6 +132,7 @@ def make_step(cfg: SlamConfig = SlamConfig()):
                 prev_xy=cur_xy,
                 prev_valid=cur_valid,
                 step=state.step + 1,
+                maint_count=state.maint_count + 1,
             )
 
         def no_update(op):
@@ -136,12 +140,11 @@ def make_step(cfg: SlamConfig = SlamConfig()):
             return state._replace(step=state.step + 1)
 
         if cfg.realtime_semantics:
-            # realtime keeps the old pose on reject but still maps the scan
-            # (`mainn.py:316-340`)
-            pose = jnp.where(accepted, res.pose, state.pose)
-            new_state = do_update((state, pose))
+            new_state = _realtime_update(state, xy, valid, res, accepted, cfg)
             new_state = jax.tree.map(
-                lambda new, old: jnp.where(enough, new, old), new_state, state._replace(step=state.step + 1)
+                lambda new, old: jnp.where(enough, new, old),
+                new_state,
+                state._replace(step=state.step + 1),
             )
         else:
             new_state = jax.lax.cond(accepted, do_update, no_update, (state, res.pose))
@@ -150,6 +153,58 @@ def make_step(cfg: SlamConfig = SlamConfig()):
         return new_state, out
 
     return step
+
+
+def _realtime_update(state: SlamState, xy, valid, res, accepted, cfg: SlamConfig) -> SlamState:
+    """Realtime-mode state update (`mainn.py:316-361`).
+
+    On accept: pose <- T; insert dedup(30) -> dynamic(300) -> occupancy-filtered
+    points.  On reject: pose AND the displayed/occupancy scan stay the
+    *previous* scan's global points (`mainn.py:333-340` — current_points_global
+    is not recomputed).  Either way the occupancy grid updates with the
+    current points deduped at 2x resolution (`mainn.py:338`), and every
+    `MAP_MAINTENANCE_INTERVAL` scans the map is pruned + downsampled
+    (`mainn.py:344-361`).
+    """
+    pose = jnp.where(accepted, res.pose, state.pose)
+    new_global = geo.se2_apply(res.pose, xy)
+    cur_xy = jnp.where(accepted, new_global, state.prev_xy)
+    cur_valid = jnp.where(accepted, valid, state.prev_valid)
+
+    # insertion pipeline (accept only)
+    dd_xy, dd_valid = voxel_downsample(new_global, valid, cfg.duplicate_voxel_mm)
+    add_valid = dynamic_points_mask(dd_xy, dd_valid, state.prev_xy, state.prev_valid, cfg.dynamic_distance_mm)
+    add_valid = occupancy_keep_mask(dd_xy, add_valid, state.occ, cfg.map, cfg.occupancy.free_threshold)
+    add_valid = add_valid & accepted
+
+    big_xy = jnp.concatenate([state.map_xy, dd_xy], axis=0)
+    big_valid = jnp.concatenate([state.map_valid, add_valid], axis=0)
+
+    # occupancy update with 2x-resolution-deduped current points
+    occ_xy, occ_valid = voxel_downsample(cur_xy, cur_valid, 2.0 * cfg.map.resolution_mm_per_px)
+    occ = update_occupancy(state.occ, occ_xy, occ_valid, pose[:2], cfg.map, cfg.occupancy)
+
+    # periodic maintenance (counts only processed scans, `mainn.py:342`)
+    new_maint = state.maint_count + 1
+    do_maint = (new_maint % MAP_MAINTENANCE_INTERVAL) == 0
+    pruned_valid = occupancy_keep_mask(big_xy, big_valid, occ, cfg.map, cfg.occupancy.free_threshold)
+    maint_valid = jnp.where(do_maint, pruned_valid, big_valid)
+    ds_xy, ds_valid = voxel_downsample(big_xy, maint_valid, cfg.map_downsample_voxel_mm)
+    over = do_maint & (jnp.sum(maint_valid) > cfg.map_downsample_trigger)
+    big_xy = jnp.where(over, ds_xy, big_xy)
+    big_valid = jnp.where(over, ds_valid, maint_valid)
+    map_xy, map_valid = compact(big_xy, big_valid, cfg.map_capacity)
+
+    return SlamState(
+        pose=pose,
+        map_xy=map_xy,
+        map_valid=map_valid,
+        occ=occ,
+        prev_xy=cur_xy,
+        prev_valid=cur_valid,
+        step=state.step + 1,
+        maint_count=new_maint,
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))

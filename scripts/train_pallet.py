@@ -1,0 +1,70 @@
+"""Train the pallet detector on the reference dataset and report mAP.
+
+Mirrors the reference's detect training config (`train2/args.yaml`: 640 px,
+batch 16, SGD) on the bundled `dataset_pallet` split.  Writes a checkpoint +
+metrics JSON.  Usage:
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts/train_pallet.py \
+        --steps 1500 --out /tmp/pallet_ckpt
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/root/reference/dataset_pallet")
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--eval-images", type=int, default=160)
+    ap.add_argument("--out", default="/tmp/pallet_ckpt")
+    args = ap.parse_args()
+
+    from icp_slam_yolo_tpu.io.checkpoint import save_checkpoint
+    from icp_slam_yolo_tpu.io.yolo_data import YoloDataset
+    from icp_slam_yolo_tpu.models.detect import Detector
+    from icp_slam_yolo_tpu.models.eval import evaluate_detector
+    from icp_slam_yolo_tpu.models.train import create_train_state, make_train_step
+    from icp_slam_yolo_tpu.models.yolo import YOLO
+
+    ds = YoloDataset(args.data + "/train", img_size=args.img_size,
+                     batch_size=args.batch_size, max_gt=16, augment=True)
+    print(f"train images: {len(ds)}", flush=True)
+    model = YOLO(num_classes=1)
+    state, tx = create_train_state(model, args.img_size, total_steps=args.steps)
+    step_fn = jax.jit(make_train_step(model, tx, args.img_size))
+
+    it = iter(ds)
+    t0 = time.time()
+    for i in range(args.steps):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        state, metrics = step_fn(state, batch)
+        if (i + 1) % 50 == 0 or i == 0:
+            print(
+                f"step {i+1}/{args.steps} loss={float(metrics['loss']):.3f} "
+                f"box={float(metrics['loss_box']):.3f} cls={float(metrics['loss_cls']):.3f} "
+                f"dfl={float(metrics['loss_dfl']):.3f} fg={int(metrics['num_fg'])} "
+                f"({(time.time()-t0)/(i+1):.2f}s/step)",
+                flush=True,
+            )
+
+    save_checkpoint(args.out, state.params, state.batch_stats,
+                    meta={"img_size": args.img_size, "num_classes": 1,
+                          "variant": "n", "task": "detect", "steps": args.steps})
+    print(f"checkpoint saved to {args.out}", flush=True)
+
+    det = Detector(num_classes=1, img_size=args.img_size,
+                   params={"params": state.params, "batch_stats": state.batch_stats})
+    m = evaluate_detector(det, args.data + "/val", args.img_size, max_images=args.eval_images)
+    print("VAL METRICS: " + json.dumps(m), flush=True)
+    with open(args.out + ".metrics.json", "w") as f:
+        json.dump(m, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
