@@ -35,16 +35,29 @@ def make_optimizer(
     weight_decay: float = 0.0005,
     warmup_steps: int = 100,
     total_steps: int = 10000,
+    clip_norm: float = 10.0,
 ):
     """SGD + nesterov with linear warmup and cosine decay (`train2/args.yaml`:
-    lr0=0.01, lrf=0.01, momentum=0.937, warmup_epochs=3)."""
+    lr0=0.01, lrf=0.01, momentum=0.937, warmup_epochs=3).  Gradients are
+    global-norm clipped, and — like Ultralytics' parameter groups — weight
+    decay skips biases and BatchNorm scales (decaying BN scale destabilises
+    training; an unclipped run went NaN around step 400)."""
     warmup_steps = min(warmup_steps, max(total_steps // 10, 1))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=lr * 0.1, peak_value=lr, warmup_steps=warmup_steps,
         decay_steps=max(total_steps, warmup_steps + 1), end_value=lr * 0.01,
     )
+
+    def decay_mask(params):
+        def rule(path, _):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            return name not in ("bias", "scale")
+
+        return jax.tree_util.tree_map_with_path(rule, params)
+
     return optax.chain(
-        optax.add_decayed_weights(weight_decay),
+        optax.clip_by_global_norm(clip_norm),
+        optax.masked(optax.add_decayed_weights(weight_decay), decay_mask),
         optax.sgd(schedule, momentum=momentum, nesterov=True),
     )
 

@@ -143,6 +143,42 @@ class OBBHead(DetectHead):
         return full
 
 
+class SegmentHead(DetectHead):
+    """Adds per-anchor mask coefficients (v8-seg capability — the reference's
+    auto-labeler consumes `r.masks.data` from a seg model,
+    `auto_labels_segmentation.py:76-94`).  Masks are assembled as
+    ``sigmoid(protos @ coeffs)`` by `models/segment.assemble_masks`."""
+
+    n_coeffs: int = 32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        outs = super().__call__(feats, train)
+        full = []
+        c4 = max(feats[0].shape[-1] // 4, self.n_coeffs)
+        for f, (box, cls) in zip(feats, outs):
+            mc = ConvBnAct(c4, 3, dtype=self.dtype)(f, train)
+            mc = nn.Conv(self.n_coeffs, (1, 1), dtype=self.dtype)(mc)
+            full.append((box, cls, mc))
+        return full
+
+
+class Proto(nn.Module):
+    """Prototype-mask net from the P3 feature: conv -> 2x upsample -> conv ->
+    ``n_protos`` mask bases at 1/4 input resolution."""
+
+    n_protos: int = 32
+    mid: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, p3, train: bool = False):
+        x = ConvBnAct(self.mid, 3, dtype=self.dtype)(p3, train)
+        x = _upsample2(x)
+        x = ConvBnAct(self.mid, 3, dtype=self.dtype)(x, train)
+        return nn.Conv(self.n_protos, (1, 1), dtype=self.dtype)(x)
+
+
 class YOLO(nn.Module):
     """v8-style detector.  ``variant``: n/s/m scale; ``task``: detect | obb."""
 
@@ -178,8 +214,13 @@ class YOLO(nn.Module):
         self.pan_p4 = C2f(ch[3], n1, False, dtype=dt)
         self.pan_d4 = ConvBnAct(ch[3], 3, 2, dtype=dt)
         self.pan_p5 = C2f(ch[4], n1, False, dtype=dt)
-        head_cls = OBBHead if self.task == "obb" else DetectHead
-        self.head = head_cls(self.num_classes, self.reg_max, dtype=dt)
+        if self.task == "obb":
+            self.head = OBBHead(self.num_classes, self.reg_max, dtype=dt)
+        elif self.task == "segment":
+            self.head = SegmentHead(self.num_classes, self.reg_max, dtype=dt)
+            self.proto = Proto(dtype=dt)
+        else:
+            self.head = DetectHead(self.num_classes, self.reg_max, dtype=dt)
 
     def __call__(self, images, train: bool = False):
         """images: ``(B, H, W, 3)`` float in [0, 1]; H, W divisible by 32.
@@ -206,7 +247,10 @@ class YOLO(nn.Module):
         o4 = self.pan_p4(d3, train)
         d4 = jnp.concatenate([self.pan_d4(o4, train), p5], axis=-1)
         o5 = self.pan_p5(d4, train)
-        return self.head([n3, o4, o5], train)
+        outs = self.head([n3, o4, o5], train)
+        if self.task == "segment":
+            return outs, self.proto(n3, train)
+        return outs
 
 
 STRIDES = (8, 16, 32)
@@ -240,7 +284,7 @@ def decode_predictions(outs, img_size: int, reg_max: int = 16):
     For OBB heads, extras is the rotation angle per anchor ``(B, A)``; else None.
     """
     anchors, strides = make_anchors(img_size)
-    boxes, scores, angles = [], [], []
+    boxes, scores, extras_l = [], [], []
     a0 = 0
     for out in outs:
         box_l, cls_l = out[0], out[1]
@@ -255,9 +299,14 @@ def decode_predictions(outs, img_size: int, reg_max: int = 16):
         boxes.append(jnp.concatenate([xy1, xy2], axis=-1))
         scores.append(jax.nn.sigmoid(cls_l.reshape(b, n, -1).astype(jnp.float32)))
         if len(out) == 3:
-            ang = (jax.nn.sigmoid(out[2].reshape(b, n).astype(jnp.float32)) - 0.25) * math.pi
-            angles.append(ang)
+            extra = out[2]
+            if extra.shape[-1] == 1:  # OBB: rotation angle in (-pi/4, 3pi/4)
+                extras_l.append(
+                    (jax.nn.sigmoid(extra.reshape(b, n).astype(jnp.float32)) - 0.25) * math.pi
+                )
+            else:  # segment: mask coefficients (B, A, P)
+                extras_l.append(extra.reshape(b, n, -1).astype(jnp.float32))
     boxes = jnp.concatenate(boxes, axis=1)
     scores = jnp.concatenate(scores, axis=1)
-    extras = jnp.concatenate(angles, axis=1) if angles else None
+    extras = jnp.concatenate(extras_l, axis=1) if extras_l else None
     return boxes, scores, extras

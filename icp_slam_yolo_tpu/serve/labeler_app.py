@@ -1,0 +1,189 @@
+"""Web labeler: browser UI over `data/labeler.LabelSession`.
+
+Replaces the reference's OpenCV-window labelers (mouse polygon drawing,
+class sidebar, YOLO-assist keys) with an HTTP surface:
+
+  GET  /label                 canvas UI
+  GET  /label/state           {index, total, image_name, classes, polygons}
+  GET  /label/image           current image bytes
+  POST /label/polygon         {points, label} -> add
+  POST /label/polygon/<i>     {label?|rotate?|move?|delete?} -> edit
+  POST /label/nav             {dir: +1/-1} (refused while any polygon unlabeled)
+  POST /label/save            write the three label formats + review CSV
+  POST /label/auto            YOLO-assist ('s' key) when a detector is attached
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlparse
+
+_LABEL_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>labeler</title>
+<style>body{font-family:system-ui;background:#111;color:#eee;margin:1rem}
+canvas{border:1px solid #555;cursor:crosshair}button{margin:.15rem}</style></head>
+<body>
+<h3 id="title">labeler</h3>
+<div>
+<button onclick="nav(-1)">&laquo; prev</button>
+<button onclick="nav(1)">next &raquo;</button>
+<button onclick="finishPoly()">finish polygon</button>
+<button onclick="save()">save labels</button>
+<button onclick="auto()">auto-label</button>
+<span id="classes"></span>
+</div>
+<canvas id="cv"></canvas>
+<script>
+let state=null, draft=[], img=new Image();
+const cv=document.getElementById('cv'), ctx=cv.getContext('2d');
+async function refresh(){
+  state = await (await fetch('/label/state')).json();
+  document.getElementById('title').textContent =
+    `${state.image_name} (${state.index+1}/${state.total})`;
+  const span=document.getElementById('classes'); span.innerHTML='';
+  for(const c of state.classes){
+    const b=document.createElement('button'); b.textContent='label: '+c;
+    b.onclick=()=>labelLast(c); span.appendChild(b);
+  }
+  img = new Image();
+  img.onload = ()=>{cv.width=img.width; cv.height=img.height; draw();};
+  img.src = '/label/image?i=' + state.index + '&t=' + Date.now();
+}
+function draw(){
+  ctx.drawImage(img,0,0);
+  for(const p of state.polygons){
+    ctx.strokeStyle = p.label==='none' ? '#f44' : '#4f4';
+    ctx.beginPath();
+    p.points.forEach(([x,y],i)=> i?ctx.lineTo(x,y):ctx.moveTo(x,y));
+    ctx.closePath(); ctx.stroke();
+    ctx.fillStyle='#ff0';
+    ctx.fillText(p.label, p.points[0][0], p.points[0][1]-4);
+  }
+  ctx.strokeStyle='#08f'; ctx.beginPath();
+  draft.forEach(([x,y],i)=> i?ctx.lineTo(x,y):ctx.moveTo(x,y)); ctx.stroke();
+}
+cv.onclick=(e)=>{
+  const r=cv.getBoundingClientRect();
+  draft.push([e.clientX-r.left, e.clientY-r.top]); draw();
+};
+async function finishPoly(){
+  if(draft.length<3) return;
+  await fetch('/label/polygon',{method:'POST',body:JSON.stringify({points:draft})});
+  draft=[]; refresh();
+}
+async function labelLast(c){
+  if(!state.polygons.length) return;
+  await fetch('/label/polygon/'+(state.polygons.length-1),
+    {method:'POST',body:JSON.stringify({label:c})});
+  refresh();
+}
+async function nav(d){
+  const r=await (await fetch('/label/nav',{method:'POST',body:JSON.stringify({dir:d})})).json();
+  if(!r.ok) alert('label every polygon first'); else refresh();
+}
+async function save(){
+  const r=await (await fetch('/label/save',{method:'POST'})).json();
+  alert('saved '+r.saved+' labels');
+}
+async function auto(){
+  const r=await (await fetch('/label/auto',{method:'POST'})).json();
+  if(r.error) alert(r.error); else refresh();
+}
+refresh();
+</script></body></html>
+"""
+
+
+def make_labeler_handler(session, detector=None):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            pass
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self):
+            length = int(self.headers.get("Content-Length") or 0)
+            return json.loads(self.rfile.read(length) or b"{}") if length else {}
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/label":
+                body = _LABEL_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif path == "/label/state":
+                self._json(
+                    {
+                        "index": session.index,
+                        "total": len(session.images),
+                        "image_name": os.path.basename(session.images[session.index]),
+                        "classes": session.classes,
+                        "polygons": [
+                            {"points": p.points, "label": p.label} for p in session.current
+                        ],
+                    }
+                )
+            elif path.startswith("/label/image"):
+                with open(session.images[session.index], "rb") as f:
+                    data = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/jpeg")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            path = urlparse(self.path).path
+            if path == "/label/polygon":
+                data = self._body()
+                i = session.add_polygon(data["points"], data.get("label", "none"))
+                self._json({"ok": True, "index": i})
+            elif path.startswith("/label/polygon/"):
+                i = int(path.rsplit("/", 1)[1])
+                data = self._body()
+                if data.get("delete"):
+                    session.delete_polygon(i)
+                if "label" in data:
+                    session.set_label(i, data["label"])
+                if "rotate" in data:
+                    session.current[i].rotate(float(data["rotate"]))
+                if "move" in data:
+                    session.current[i].move(*data["move"])
+                self._json({"ok": True})
+            elif path == "/label/nav":
+                d = int(self._body().get("dir", 1))
+                ok = session.next_image() if d > 0 else session.prev_image()
+                self._json({"ok": ok})
+            elif path == "/label/save":
+                self._json({"ok": True, "saved": session.save_labels()})
+            elif path == "/label/auto":
+                if detector is None:
+                    self._json({"error": "no detector attached"}, 400)
+                else:
+                    n = session.auto_label(detector)
+                    self._json({"ok": True, "added": n})
+            else:
+                self._json({"error": "not found"}, 404)
+
+    return Handler
+
+
+def serve_labeler(session, detector=None, host: str = "0.0.0.0", port: int = 5001):
+    server = ThreadingHTTPServer((host, port), make_labeler_handler(session, detector))
+    print(f"labeler on http://{host}:{port}/label")
+    server.serve_forever()

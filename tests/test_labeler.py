@@ -1,0 +1,113 @@
+"""Labeling session + web labeler routes."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from icp_slam_yolo_tpu.data.labeler import LabelSession, Polygon
+
+
+@pytest.fixture()
+def image_dir(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        Image.new("RGB", (64, 48), (i * 40, 0, 0)).save(d / f"img{i}.jpg")
+    return str(d)
+
+
+def test_polygon_ops():
+    p = Polygon([[0.0, 0], [10, 0], [10, 10], [0, 10]], "pallet")
+    np.testing.assert_allclose(p.center(), [5, 5])
+    p.move(5, -5)
+    assert p.bbox() == [5, -5, 15, 5]
+    p2 = Polygon([[0.0, 0], [10, 0], [10, 10], [0, 10]])
+    p2.rotate(90)
+    np.testing.assert_allclose(sorted(tuple(q) for q in p2.points), sorted([(0, 0), (10, 0), (10, 10), (0, 10)]), atol=1e-6)
+
+
+def test_session_flow(image_dir, tmp_path):
+    out = str(tmp_path / "out")
+    s = LabelSession(image_dir, out, classes=["pallet", "box"])
+    s.add_polygon([[1, 1], [20, 1], [20, 20], [1, 20]])
+    assert not s.can_navigate()  # unlabeled polygon blocks navigation
+    assert not s.next_image()
+    s.set_label(0, "pallet")
+    assert s.next_image() and s.index == 1
+
+    # copy/paste across images
+    s.prev_image()
+    s.copy_polygon(0)
+    s.next_image()
+    assert s.paste_polygon() == 0
+    assert s.current[0].label == "pallet"
+
+    n = s.save_labels()
+    assert n == 1
+    stem = os.path.splitext(os.path.basename(s.images[1]))[0]
+    assert os.path.exists(os.path.join(out, "output", stem + ".txt"))
+    assert os.path.exists(os.path.join(out, "output_pose", stem + ".txt"))
+    assert os.path.exists(os.path.join(out, "output_oject", stem + ".txt"))
+    assert os.path.exists(os.path.join(out, "kiem_tra.csv"))
+    row = open(os.path.join(out, "output", stem + ".txt")).read().split()
+    coords = [float(v) for v in row[1:]]
+    assert all(0 <= c <= 1 for c in coords)
+
+
+def test_session_resume(image_dir, tmp_path):
+    out = str(tmp_path / "out")
+    s = LabelSession(image_dir, out)
+    s.add_polygon([[1, 1], [5, 1], [5, 5]], label="pallet")
+    s.next_image()
+    s.save_state()
+    s2 = LabelSession(image_dir, out)
+    assert s2.index == 1
+    assert len(s2.annotations[0]) == 1  # polygons persisted
+
+
+class FakeDetector:
+    def __call__(self, img):
+        return {"boxes": np.array([[10.0, 10, 30, 30], [40, 10, 60, 30]]),
+                "scores": np.array([0.9, 0.8]), "classes": np.array([0, 0])}
+
+
+def test_auto_label_and_match(image_dir, tmp_path):
+    s = LabelSession(image_dir, str(tmp_path / "out"))
+    n = s.auto_label(FakeDetector())
+    assert n == 2 and len(s.current) == 2
+    assert s.current[0].label == "pallet"
+    # manual bbox adoption: overlaps detection 2
+    i = s.match_box([38, 8, 62, 32], FakeDetector())
+    assert i == 2
+    assert s.match_box([0, 40, 5, 45], FakeDetector()) is None  # no IoU>0.3
+
+
+def test_labeler_http(image_dir, tmp_path):
+    from icp_slam_yolo_tpu.serve.labeler_app import make_labeler_handler
+    from http.server import ThreadingHTTPServer
+
+    s = LabelSession(image_dir, str(tmp_path / "out"))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_labeler_handler(s, FakeDetector()))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(path, payload=None):
+        req = urllib.request.Request(base + path, data=json.dumps(payload or {}).encode())
+        return json.loads(urllib.request.urlopen(req, timeout=5).read())
+
+    st = json.loads(urllib.request.urlopen(base + "/label/state", timeout=5).read())
+    assert st["total"] == 3 and st["classes"] == ["pallet"]
+    assert post("/label/polygon", {"points": [[1, 1], [9, 1], [9, 9]]})["ok"]
+    assert post("/label/nav", {"dir": 1})["ok"] is False  # unlabeled blocks
+    assert post("/label/polygon/0", {"label": "pallet"})["ok"]
+    assert post("/label/nav", {"dir": 1})["ok"] is True
+    assert post("/label/auto")["added"] == 2
+    html = urllib.request.urlopen(base + "/label", timeout=5).read()
+    assert b"canvas" in html
+    srv.shutdown()
