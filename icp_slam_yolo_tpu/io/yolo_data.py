@@ -61,6 +61,33 @@ def parse_label_file(path: str):
     return np.array(classes, np.int32).reshape(-1), np.array(boxes, np.float64).reshape(-1, 4)
 
 
+def parse_polygons(path: str):
+    """Polygon label rows -> ``(classes, [poly (K, 2) normalised ...])``."""
+    classes, polys = [], []
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                vals = line.split()
+                if len(vals) < 7 or len(vals) % 2 == 0:
+                    continue
+                classes.append(int(float(vals[0])))
+                coords = np.array([float(v) for v in vals[1:]]).reshape(-1, 2)
+                polys.append(coords)
+    return np.array(classes, np.int32), polys
+
+
+def polygon_angle(poly: np.ndarray) -> float:
+    """Rotation of an OBB polygon from its first edge, wrapped into
+    (-pi/4, 3pi/4) — the head's decode range."""
+    e = poly[1] - poly[0]
+    ang = float(np.arctan2(e[1], e[0]))
+    while ang >= 0.75 * np.pi:
+        ang -= np.pi
+    while ang < -0.25 * np.pi:
+        ang += np.pi
+    return ang
+
+
 def load_example(img_path: str, lbl_path: str, img_size: int):
     """Decode + nearest-resize one example; boxes to xyxy pixels at img_size."""
     img = Image.open(img_path).convert("RGB")
@@ -92,6 +119,7 @@ class YoloDataset:
         self.max_gt = max_gt
         self.rng = random.Random(seed)
         self.augment = augment  # hflip (`train2/args.yaml` fliplr: 0.5)
+        self.task = "detect"    # "obb" adds per-gt angles to batches
 
     def __len__(self):
         return len(self.pairs)
@@ -109,8 +137,13 @@ class YoloDataset:
         boxes = np.zeros((b, m, 4), np.float32)
         classes = np.zeros((b, m), np.int32)
         valid = np.zeros((b, m), bool)
+        angles = np.zeros((b, m), np.float32) if self.task == "obb" else None
         for i, (ip, lp) in enumerate(pairs):
             img, cls, bxs = load_example(ip, lp, s)
+            if angles is not None:
+                _, polys = parse_polygons(lp)
+                for j, poly in enumerate(polys[:m]):
+                    angles[i, j] = polygon_angle(poly)
             if self.augment and self.rng.random() < 0.5:
                 img = img[:, ::-1]
                 if len(bxs):
@@ -122,4 +155,7 @@ class YoloDataset:
             boxes[i, :k] = bxs[:k]
             classes[i, :k] = cls[:k]
             valid[i, :k] = True
-        return {"images": images, "boxes": boxes, "classes": classes, "valid": valid}
+        batch = {"images": images, "boxes": boxes, "classes": classes, "valid": valid}
+        if angles is not None:
+            batch["angles"] = angles
+        return batch

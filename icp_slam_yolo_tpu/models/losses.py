@@ -114,8 +114,16 @@ def detection_loss(
     num_classes: int,
     reg_max: int = 16,
     weights: LossWeights = LossWeights(),
+    gt_angles: jnp.ndarray | None = None,  # (B, M) rad — OBB task
+    angle_weight: float = 1.0,
 ):
-    """Total loss (scalar) + metric dict for a batch of head outputs."""
+    """Total loss (scalar) + metric dict for a batch of head outputs.
+
+    For the OBB task pass ``gt_angles``: the head's angle branch (decoded to
+    (-pi/4, 3pi/4) like inference) gets a smooth-L1 term on foreground anchors
+    against the assigned gt angle, on top of the axis-aligned box losses
+    applied to the enclosing boxes.
+    """
     anchors, strides = make_anchors(img_size)
 
     box_l = jnp.concatenate(
@@ -131,9 +139,14 @@ def detection_loss(
     pred_boxes = jnp.concatenate([xy1, xy2], axis=-1)
     pred_scores = jax.nn.sigmoid(cls_l)
 
-    assigned_gt, fg, tgt_scores = jax.vmap(
-        lambda s, b, gb, gc, gv: task_aligned_assign(s, b, anchors, gb, gc, gv)
-    )(pred_scores, pred_boxes, gt_boxes, gt_classes, gt_valid)
+    # the assigner's outputs are TARGETS, not functions to differentiate:
+    # without stop_gradient, d/dx sqrt(cls_score) is infinite once background
+    # logits saturate (sigmoid -> exactly 0 in f32) and training NaNs (~step 500)
+    assigned_gt, fg, tgt_scores = jax.lax.stop_gradient(
+        jax.vmap(
+            lambda s, b, gb, gc, gv: task_aligned_assign(s, b, anchors, gb, gc, gv)
+        )(pred_scores, pred_boxes, gt_boxes, gt_classes, gt_valid)
+    )
 
     norm = jnp.maximum(jnp.sum(tgt_scores), 1.0)
 
@@ -167,10 +180,24 @@ def detection_loss(
     loss_dfl = jnp.sum(jnp.mean(dfl, axis=-1) * w_fg) / norm
 
     total = weights.box * loss_box + weights.cls * loss_cls + weights.dfl * loss_dfl
-    return total, {
-        "loss": total,
+    metrics = {
         "loss_box": loss_box,
         "loss_cls": loss_cls,
         "loss_dfl": loss_dfl,
         "num_fg": jnp.sum(fg),
     }
+
+    if gt_angles is not None and len(outs[0]) == 3:
+        ang_l = jnp.concatenate(
+            [o[2].reshape(o[2].shape[0], -1) for o in outs], axis=1
+        ).astype(jnp.float32)  # (B, A)
+        pred_ang = (jax.nn.sigmoid(ang_l) - 0.25) * math.pi  # inference decode
+        tgt_ang = jnp.take_along_axis(gt_angles, assigned_gt, axis=1)
+        diff = pred_ang - tgt_ang
+        huber = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff * diff, jnp.abs(diff) - 0.5)
+        loss_ang = jnp.sum(huber * w_fg) / norm
+        total = total + angle_weight * loss_ang
+        metrics["loss_angle"] = loss_ang
+
+    metrics["loss"] = total
+    return total, metrics

@@ -89,6 +89,7 @@ def make_train_step(model: YOLO, tx, img_size: int, weights: LossWeights = LossW
         total, metrics = detection_loss(
             outs, batch["boxes"], batch["classes"], batch["valid"],
             img_size, model.num_classes, model.reg_max, weights,
+            gt_angles=batch.get("angles"),
         )
         return total, (metrics, mutated["batch_stats"])
 

@@ -132,6 +132,8 @@ def make_handler(state: ServerState):
                 self._video_feed()
             elif path == "/map_image":
                 self._bytes(state.map_png_bytes(), "image/png")
+            elif path == "/icp_image":
+                self._bytes(state.icp_view_png_bytes(), "image/png")
             elif path == "/save_map":
                 name = (q.get("filename") or [None])[0]
                 if not name:

@@ -43,6 +43,7 @@ class ServerState:
         self.distance_to_target: float | None = None
         self.camera_trigger = False
         self.last_scan_points_px: list[tuple[int, int]] = []
+        self.last_scan_sensor = np.zeros((0, 2))
         self._thread: threading.Thread | None = None
         self.poi_path = poi_file or os.path.join(work_dir, POI_FILE)
         self.load_pois()
@@ -110,6 +111,7 @@ class ServerState:
             from icp_slam_yolo_tpu.reference_impl.oracle import polar_gate, se2_apply
 
             pts = polar_gate(scan, self.cfg.gate)
+            self.last_scan_sensor = pts
             world = se2_apply(np.asarray(pose, float), pts)
             self.last_scan_points_px = [self.world_to_px(p[0], p[1]) for p in world]
             if self.active_target is not None:
@@ -159,6 +161,21 @@ class ServerState:
         img = Image.fromarray(maps_io.occupancy_to_image(self.engine.occupancy()), mode="L")
         buf = _io.BytesIO()
         img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def icp_view_png_bytes(self) -> bytes:
+        """ICP debug view (`mainn.py:89-132`): local map vs current scan in the
+        robot frame."""
+        import io as _io
+
+        from PIL import Image
+
+        from icp_slam_yolo_tpu.io.render import icp_debug_view
+
+        with self.lock:
+            img = icp_debug_view(self.engine.map_points(), self.last_scan_sensor, self.engine.pose)
+        buf = _io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
         return buf.getvalue()
 
     def load_map(self, filepath: str) -> None:
