@@ -138,6 +138,27 @@ def bench_sequence(n_scans: int = 300) -> float:
     return len(scans) / float(np.median(times[1:]))
 
 
+def bench_detect(batch: int = 8, img_size: int = 640, repeats: int = 6) -> float:
+    """YOLO detect frames/sec (jitted conv + decode + NMS)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icp_slam_yolo_tpu.models.detect import Detector
+
+    det = Detector(num_classes=1, img_size=img_size)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (batch, img_size, img_size, 3)), jnp.float32)
+    d = det.predict_batch(x)
+    jax.block_until_ready(d.scores)
+    times = []
+    for k in range(repeats):
+        t0 = time.perf_counter()
+        d = det.predict_batch(x + 1e-6 * (k + 1))  # unique inputs: relay caches
+        jax.block_until_ready(d.scores)
+        times.append(time.perf_counter() - t0)
+    return batch / float(np.median(times[2:]))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="also run secondary benchmarks (stderr)")
@@ -150,6 +171,8 @@ def main():
     if args.all:
         seq_hz = bench_sequence()
         print(f"# full-sequence SLAM loop: {seq_hz:.1f} scans/s (reference target: 10 Hz)", file=sys.stderr)
+        fps = bench_detect()
+        print(f"# YOLO detect: {fps:.1f} FPS @640px (reference cameras: ~10 Hz)", file=sys.stderr)
         print(f"# baseline (NumPy oracle, CPU): {base:.1f} reg/s", file=sys.stderr)
 
     print(

@@ -137,6 +137,10 @@ class SlamConfig:
     use_outlier_filter: bool = False       # offline comments it out (`slam_offline.py:357-359`)
     use_duplicate_filter: bool = False     # offline comments it out (`slam_offline.py:394`)
     realtime_semantics: bool = False
+    localization_only: bool = False        # `update_mode=0` (`mainn.py:679-695`):
+    # track the pose against a loaded map without inserting points or
+    # updating occupancy (the reference flags this mode but never wires it
+    # into its loop — here it works)
 
     n_max: int = 512          # max points per scan (observed max 405)
     map_capacity: int = 24576  # the reference's saved map has 18908 points

@@ -90,3 +90,20 @@ class Slam:
 
     def save_pcd(self, path: str) -> None:
         maps_io.save_pcd(self.map_points(), path)
+
+    # --- full-state checkpoint/resume (beyond the reference's PNG+npy) -----
+    def save_state(self, path: str) -> None:
+        """Persist the complete SLAM state (pose, map, occupancy, counters)."""
+        if self.state is None:
+            raise RuntimeError("no state to save")
+        np.savez_compressed(
+            path,
+            **{k: np.asarray(v) for k, v in self.state._replace()._asdict().items()},
+        )
+
+    def load_state(self, path: str) -> None:
+        """Resume from a saved state file (``.npz``)."""
+        import jax.numpy as jnp
+
+        data = np.load(path if path.endswith(".npz") else path + ".npz")
+        self.state = pipeline.SlamState(**{k: jnp.asarray(data[k]) for k in data.files})

@@ -139,7 +139,17 @@ def make_step(cfg: SlamConfig = SlamConfig()):
             state, _ = op
             return state._replace(step=state.step + 1)
 
-        if cfg.realtime_semantics:
+        if cfg.localization_only:
+            # pose tracking against a frozen map (`update_mode=0`)
+            pose = jnp.where(accepted, res.pose, state.pose)
+            cur_xy = geo.se2_apply(pose, xy)
+            new_state = state._replace(
+                pose=pose,
+                prev_xy=jnp.where(accepted, cur_xy, state.prev_xy),
+                prev_valid=jnp.where(accepted, valid, state.prev_valid),
+                step=state.step + 1,
+            )
+        elif cfg.realtime_semantics:
             new_state = _realtime_update(state, xy, valid, res, accepted, cfg)
             new_state = jax.tree.map(
                 lambda new, old: jnp.where(enough, new, old),

@@ -1,0 +1,54 @@
+"""Localization-only mode and full SLAM state checkpoint/resume."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from icp_slam_yolo_tpu.config import SlamConfig
+from icp_slam_yolo_tpu.io import scans as scans_io
+from icp_slam_yolo_tpu.slam import pipeline
+from icp_slam_yolo_tpu.slam.api import Slam
+
+CFG = SlamConfig(map_capacity=4096)
+
+
+def test_localization_tracks_without_map_update(scan_sequence):
+    raw = scan_sequence[:25]
+    padded = scans_io.collate(raw, CFG.n_max)
+    # build a map first (mapping mode)
+    state, _ = pipeline.run_sequence(jnp.asarray(padded), CFG)
+    map_before = np.asarray(state.map_valid).sum()
+    occ_before = np.asarray(state.occ).copy()
+
+    # replay in localization mode starting from pose 0 against the built map
+    loc_cfg = CFG.replace(localization_only=True)
+    step = pipeline.make_step(loc_cfg)
+    st = state._replace(pose=jnp.zeros(3, jnp.float32))
+    poses = []
+    for i in range(1, 10):
+        st, out = step(st, jnp.asarray(padded[i]))
+        poses.append((np.asarray(out.pose), bool(out.accepted)))
+    assert any(acc for _, acc in poses)
+    # the map and occupancy are untouched
+    assert np.asarray(st.map_valid).sum() == map_before
+    np.testing.assert_array_equal(np.asarray(st.occ), occ_before)
+
+
+def test_state_checkpoint_resume(scan_sequence, tmp_path):
+    raw = scan_sequence[:15]
+    eng = Slam(CFG)
+    for s in raw[:10]:
+        eng.add_scan(s)
+    path = str(tmp_path / "slam_state.npz")
+    eng.save_state(path)
+    pose_at_save = eng.pose.copy()
+
+    # resume in a fresh engine and continue
+    eng2 = Slam(CFG)
+    eng2.load_state(path)
+    np.testing.assert_array_equal(eng2.pose, pose_at_save)
+    assert len(eng2.map_points()) == len(eng.map_points())
+
+    out_a = eng.add_scan(raw[10])
+    out_b = eng2.add_scan(raw[10])
+    np.testing.assert_allclose(out_a["pose"], out_b["pose"], atol=1e-4)
+    assert out_a["accepted"] == out_b["accepted"]
