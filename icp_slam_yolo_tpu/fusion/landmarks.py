@@ -53,9 +53,11 @@ def project_detection(
     score: float = 1.0,
     mount_forward_mm: float = 0.0,
     mount_left_mm: float = 0.0,
+    alignment=None,
 ) -> Landmark:
-    """Stereo corner detections + robot pose -> world-frame landmark."""
-    align = pallet_alignment(corners_left, corners_right)
+    """Stereo corner detections + robot pose -> world-frame landmark.
+    Pass ``alignment`` to reuse an already-computed `pallet_alignment`."""
+    align = alignment if alignment is not None else pallet_alignment(corners_left, corners_right)
     center_cam = (
         float(np.tan(float(align.horizontal_angle_rad)) * float(align.distance_mm)),
         0.0,

@@ -134,6 +134,8 @@ def make_handler(state: ServerState):
                 self._bytes(state.map_png_bytes(), "image/png")
             elif path == "/icp_image":
                 self._bytes(state.icp_view_png_bytes(), "image/png")
+            elif path == "/landmarks":
+                self._json({"landmarks": state.landmark_markers()})
             elif path == "/save_map":
                 name = (q.get("filename") or [None])[0]
                 if not name:

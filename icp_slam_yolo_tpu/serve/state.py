@@ -44,6 +44,9 @@ class ServerState:
         self.camera_trigger = False
         self.last_scan_points_px: list[tuple[int, int]] = []
         self.last_scan_sensor = np.zeros((0, 2))
+        self.last_camera_data: dict | None = None
+        self.landmarks = None  # lazily created LandmarkMap
+        self._camera_worker = None
         self._thread: threading.Thread | None = None
         self.poi_path = poi_file or os.path.join(work_dir, POI_FILE)
         self.load_pois()
@@ -100,6 +103,8 @@ class ServerState:
                 payload["distance"] = f"{self.distance_to_target:.2f}"
             if self.engine.rmse_history:
                 payload["rmse"] = f"{self.engine.rmse_history[-1]:.2f}"
+            if self.last_camera_data is not None:
+                payload["camera_data"] = self.last_camera_data
             return payload
 
     # --- SLAM worker -------------------------------------------------------
@@ -162,6 +167,63 @@ class ServerState:
         buf = _io.BytesIO()
         img.save(buf, format="PNG")
         return buf.getvalue()
+
+    def attach_camera(self, detector, stereo, poll_s: float = 0.1) -> None:
+        """Wire the perception loop (`mainn.py:135-266` camera worker): when
+        the robot is within trigger distance of the target, run the detector
+        on stereo pairs, compute the pallet alignment, publish it on the SSE
+        stream (the reference UI's `camera_data` field, which its server never
+        actually sent) and fuse the detection into the landmark map."""
+        import numpy as _np
+
+        from icp_slam_yolo_tpu.acquisition.camera import TriggeredCameraWorker
+        from icp_slam_yolo_tpu.fusion import LandmarkMap, project_detection
+
+        if self.landmarks is None:
+            self.landmarks = LandmarkMap()
+        trigger = threading.Event()
+        self._camera_trigger_event = trigger
+
+        def on_pair(f1, f2):
+            out1 = detector(f1)
+            out2 = detector(f2)
+            if not len(out1["boxes"]) or not len(out2["boxes"]):
+                return
+            b1, b2 = out1["boxes"][0], out2["boxes"][0]
+            c1 = _np.array([[b1[0], b1[1]], [b1[2], b1[1]], [b1[2], b1[3]], [b1[0], b1[3]]])
+            c2 = _np.array([[b2[0], b2[1]], [b2[2], b2[1]], [b2[2], b2[3]], [b2[0], b2[3]]])
+            from icp_slam_yolo_tpu.perception.stereo import pallet_alignment
+
+            align = pallet_alignment(c1, c2)
+            with self.lock:
+                pose = tuple(map(float, self.engine.pose))
+                self.last_camera_data = {
+                    "yaw_deg": round(float(_np.rad2deg(align.yaw_rad)), 2),
+                    "distance_mm": round(float(align.distance_mm), 1),
+                    "lateral_mm": round(float(align.lateral_offset_mm), 1),
+                    "direction": int(align.direction),
+                }
+                self.landmarks.insert(
+                    project_detection(pose, c1, c2, score=float(out1["scores"][0]), alignment=align)
+                )
+
+        worker = TriggeredCameraWorker(stereo, trigger, self.stopped, on_pair, poll_s)
+        worker.start()
+        self._camera_worker = worker
+
+        def trigger_sync():  # mirror the SLAM-side flag into the worker event
+            while not self.stopped.is_set():
+                if self.camera_trigger:
+                    trigger.set()
+                else:
+                    trigger.clear()
+                time.sleep(poll_s)
+
+        threading.Thread(target=trigger_sync, daemon=True).start()
+
+    def landmark_markers(self) -> list[dict]:
+        with self.lock:
+            return [] if self.landmarks is None else self.landmarks.to_pixel_markers(self.cfg.map)
 
     def icp_view_png_bytes(self) -> bytes:
         """ICP debug view (`mainn.py:89-132`): local map vs current scan in the

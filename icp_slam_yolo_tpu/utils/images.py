@@ -1,0 +1,86 @@
+"""Image helpers (`lib_main/convert.py`, `lib_main/bat_canh_img.py`,
+`lib_main/remove.py` parity): batch resize, HSV-range contour detection,
+directory reset."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+from PIL import Image
+
+
+def resize_images(src_dir: str, dst_dir: str, size: tuple[int, int]) -> int:
+    """Resize every image in ``src_dir`` into ``dst_dir`` (convert.py parity)."""
+    os.makedirs(dst_dir, exist_ok=True)
+    n = 0
+    for name in sorted(os.listdir(src_dir)):
+        if not name.lower().endswith((".jpg", ".jpeg", ".png")):
+            continue
+        Image.open(os.path.join(src_dir, name)).convert("RGB").resize(size).save(
+            os.path.join(dst_dir, name)
+        )
+        n += 1
+    return n
+
+
+def rgb_to_hsv(img: np.ndarray) -> np.ndarray:
+    """Vectorised RGB [0,255] -> HSV with OpenCV ranges (H 0-179, S/V 0-255)."""
+    arr = np.asarray(img, np.float32) / 255.0
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    mx = arr.max(-1)
+    mn = arr.min(-1)
+    diff = mx - mn + 1e-12
+    h = np.zeros_like(mx)
+    h = np.where(mx == r, (60 * ((g - b) / diff) + 360) % 360, h)
+    h = np.where(mx == g, 60 * ((b - r) / diff) + 120, h)
+    h = np.where(mx == b, 60 * ((r - g) / diff) + 240, h)
+    s = np.where(mx > 0, diff / (mx + 1e-12), 0)
+    return np.stack([h / 2.0, s * 255.0, mx * 255.0], axis=-1)
+
+
+def hsv_mask(img: np.ndarray, lower, upper) -> np.ndarray:
+    """Boolean mask of pixels inside an HSV range (`bat_canh_img.py:8` capability)."""
+    hsv = rgb_to_hsv(img)
+    lo = np.asarray(lower, np.float32)
+    hi = np.asarray(upper, np.float32)
+    return ((hsv >= lo) & (hsv <= hi)).all(-1)
+
+
+def hsv_edge_boxes(img: np.ndarray, lower, upper, min_area: int = 50):
+    """Connected-region bounding boxes of an HSV mask (contour-box parity)."""
+    mask = hsv_mask(img, lower, upper)
+    # simple 4-connected labeling via flood fill (no OpenCV dependency)
+    labels = np.zeros(mask.shape, np.int32)
+    boxes = []
+    next_label = 0
+    idx = np.argwhere(mask & (labels == 0))
+    import collections
+
+    for y0, x0 in idx:
+        if labels[y0, x0] or not mask[y0, x0]:
+            continue
+        next_label += 1
+        q = collections.deque([(y0, x0)])
+        labels[y0, x0] = next_label
+        ys, xs = [y0], [x0]
+        while q:
+            y, x = q.popleft()
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < mask.shape[0] and 0 <= nx < mask.shape[1] and mask[ny, nx] and not labels[ny, nx]:
+                    labels[ny, nx] = next_label
+                    ys.append(ny)
+                    xs.append(nx)
+                    q.append((ny, nx))
+        if len(ys) >= min_area:
+            boxes.append((min(xs), min(ys), max(xs) + 1, max(ys) + 1))
+    return boxes
+
+
+def reset_directory(path: str) -> None:
+    """Remove-and-recreate a directory (`lib_main/remove.py` parity)."""
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)

@@ -1,0 +1,75 @@
+"""Fused SLAM+perception serving loop: trigger -> detect -> pallet alignment ->
+camera_data on the stream + landmark fusion (BASELINE.json config 4)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from icp_slam_yolo_tpu.acquisition.camera import ReplayCamera, StereoCapture
+from icp_slam_yolo_tpu.config import IcpConfig, MapConfig, OccupancyConfig, SlamConfig
+from icp_slam_yolo_tpu.serve.state import ServerState
+
+CFG = SlamConfig(
+    map=MapConfig(width_mm=6000.0, height_mm=6000.0),
+    icp=IcpConfig(max_iterations=5),
+    occupancy=OccupancyConfig(window_px=60, max_ray_px=80),
+    n_max=128,
+    map_capacity=512,
+)
+
+F, CX, B = 381.0, 320.0, 26.0
+
+
+class FakeStereoDetector:
+    """Returns one consistent pallet box per view (right view shifted by the
+    disparity of a 1 m target)."""
+
+    def __init__(self):
+        self.shift = 0.0
+
+    def __call__(self, img):
+        disp = F * B / 1000.0  # 1 m depth
+        x0 = 300.0 - (disp if self.shift else 0.0)
+        self.shift = 1 - self.shift  # alternate left/right view calls
+        return {
+            "boxes": np.array([[x0, 200.0, x0 + 60, 260.0]]),
+            "scores": np.array([0.9]),
+            "classes": np.array([0]),
+        }
+
+
+@pytest.fixture()
+def stereo(tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "cams"
+    d.mkdir()
+    for i in range(3):
+        Image.new("RGB", (640, 480)).save(d / f"anh_1_{i}.jpg")
+        Image.new("RGB", (640, 480)).save(d / f"anh_2_{i}.jpg")
+    return StereoCapture(
+        ReplayCamera(str(d), "anh_1"), ReplayCamera(str(d), "anh_2"), str(tmp_path / "save")
+    )
+
+
+def test_fused_loop(stereo, scan_sequence):
+    state = ServerState(CFG, work_dir=".")
+    state.feed_scan(scan_sequence[0])
+    state.attach_camera(FakeStereoDetector(), stereo, poll_s=0.02)
+
+    # force the trigger on (as if within 1 m of the target)
+    state.camera_trigger = True
+    deadline = time.time() + 5
+    while state.last_camera_data is None and time.time() < deadline:
+        time.sleep(0.05)
+    state.stopped.set()
+
+    assert state.last_camera_data is not None, "camera worker never produced data"
+    cd = state.last_camera_data
+    assert abs(cd["distance_mm"] - 1000.0) < 50  # the synthetic 1 m pallet
+    payload = state.stream_payload()
+    assert "camera_data" in payload
+
+    marks = state.landmark_markers()
+    assert len(marks) == 1 and marks[0]["n_obs"] >= 1

@@ -1,0 +1,57 @@
+"""Settings parser, path registry, image utilities."""
+
+import numpy as np
+from PIL import Image
+
+from icp_slam_yolo_tpu.data.settings import PathRegistry, read_settings, write_settings
+from icp_slam_yolo_tpu.utils.images import hsv_edge_boxes, hsv_mask, reset_directory, resize_images
+
+
+def test_settings_roundtrip(tmp_path):
+    p = str(tmp_path / "setting.txt")
+    write_settings(p, {"image_dir": "/data/images", "brush_size": "12"})
+    s = read_settings(p)
+    assert s == {"image_dir": "/data/images", "brush_size": "12"}
+
+
+def test_settings_skips_comments(tmp_path):
+    p = tmp_path / "s.txt"
+    p.write_text("# comment\n\nkey1 value with spaces\nkey1 override\n")
+    s = read_settings(str(p))
+    assert s["key1"] == "override"
+
+
+def test_path_registry(tmp_path):
+    p = str(tmp_path / "paths.txt")
+    reg = PathRegistry(p)
+    assert reg.get("out", "/default") == "/default"
+    reg.set("out", "/data/out")
+    assert PathRegistry(p).get("out") == "/data/out"
+
+
+def test_resize_images(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    Image.new("RGB", (100, 80)).save(src / "a.jpg")
+    n = resize_images(str(src), str(tmp_path / "dst"), (32, 32))
+    assert n == 1
+    assert Image.open(tmp_path / "dst" / "a.jpg").size == (32, 32)
+
+
+def test_hsv_mask_and_boxes():
+    img = np.zeros((40, 40, 3), np.uint8)
+    img[10:20, 10:25] = (255, 0, 0)  # pure red block
+    mask = hsv_mask(img, (0, 200, 200), (10, 255, 255))
+    assert mask[15, 15] and not mask[0, 0]
+    boxes = hsv_edge_boxes(img, (0, 200, 200), (10, 255, 255), min_area=20)
+    assert boxes == [(10, 10, 25, 20)]
+
+
+def test_reset_directory(tmp_path):
+    d = tmp_path / "x"
+    d.mkdir()
+    (d / "junk.txt").write_text("x")
+    reset_directory(str(d))
+    import os
+
+    assert os.path.isdir(d) and not os.listdir(d)
