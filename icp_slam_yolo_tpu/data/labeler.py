@@ -184,6 +184,65 @@ class LabelSession:
         x1, y1, x2, y2 = best
         return self.add_polygon([[x1, y1], [x2, y1], [x2, y2], [x1, y2]], self.classes[0])
 
+    # --- mask paintbrush (`labels_segmentation_ver_1/2/new.py` capability) -----
+    def new_mask(self, width: int, height: int) -> np.ndarray:
+        """Start a paint mask for the current image (brush-based labeling)."""
+        self._mask = np.zeros((height, width), bool)
+        return self._mask
+
+    def paint(self, x: int, y: int, brush_size: int = 10, shape: str = "square",
+              erase: bool = False) -> None:
+        """Paint/erase with a sized square or circle brush (the reference's
+        brush tools; erase = right-button drag)."""
+        m = self._mask
+        h, w = m.shape
+        r = brush_size // 2
+        y0, y1 = max(0, y - r), min(h, y + r + 1)
+        x0, x1 = max(0, x - r), min(w, x + r + 1)
+        if shape == "circle":
+            yy, xx = np.mgrid[y0:y1, x0:x1]
+            sel = (yy - y) ** 2 + (xx - x) ** 2 <= r * r
+            m[y0:y1, x0:x1][sel] = not erase
+        else:
+            m[y0:y1, x0:x1] = not erase
+
+    def mask_to_polygons(self, label: str | None = None, min_area: int = 20) -> int:
+        """Convert painted regions to polygons (findContours step of the
+        reference's paint labelers).  Returns polygons added."""
+        from icp_slam_yolo_tpu.models.segment import mask_to_polygon
+        from icp_slam_yolo_tpu.utils.images import hsv_edge_boxes  # noqa: F401 (region split below)
+
+        m = self._mask
+        # split into connected regions via the flood-fill labeler
+        import collections
+
+        labels_img = np.zeros(m.shape, np.int32)
+        added = 0
+        nxt = 0
+        for y0, x0 in np.argwhere(m & (labels_img == 0)):
+            if labels_img[y0, x0] or not m[y0, x0]:
+                continue
+            nxt += 1
+            q = collections.deque([(y0, x0)])
+            labels_img[y0, x0] = nxt
+            cells = [(y0, x0)]
+            while q:
+                y, x = q.popleft()
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ny, nx_ = y + dy, x + dx
+                    if 0 <= ny < m.shape[0] and 0 <= nx_ < m.shape[1] and m[ny, nx_] and not labels_img[ny, nx_]:
+                        labels_img[ny, nx_] = nxt
+                        cells.append((ny, nx_))
+                        q.append((ny, nx_))
+            if len(cells) < min_area:
+                continue
+            region = labels_img == nxt
+            poly = mask_to_polygon(region.astype(float), max_points=24)
+            if len(poly) >= 3:
+                self.add_polygon(poly.tolist(), label or UNLABELED)
+                added += 1
+        return added
+
     # --- output (three formats at once + review CSV) ------------------------------
     def save_labels(self) -> int:
         from PIL import Image

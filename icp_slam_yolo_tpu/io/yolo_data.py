@@ -110,7 +110,7 @@ class YoloDataset:
     """Shuffled batch iterator with fixed-shape padded labels."""
 
     def __init__(self, root: str, img_size: int = 640, batch_size: int = 16, max_gt: int = 32,
-                 seed: int = 0, augment: bool = False):
+                 seed: int = 0, augment: bool = False, task: str = "detect"):
         self.pairs = find_pairs(root)
         if not self.pairs:
             raise FileNotFoundError(f"no images under {root}")
@@ -119,7 +119,7 @@ class YoloDataset:
         self.max_gt = max_gt
         self.rng = random.Random(seed)
         self.augment = augment  # hflip (`train2/args.yaml` fliplr: 0.5)
-        self.task = "detect"    # "obb" adds per-gt angles to batches
+        self.task = task        # "obb" adds per-gt angles to batches
 
     def __len__(self):
         return len(self.pairs)

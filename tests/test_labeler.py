@@ -87,6 +87,23 @@ def test_auto_label_and_match(image_dir, tmp_path):
     assert s.match_box([0, 40, 5, 45], FakeDetector()) is None  # no IoU>0.3
 
 
+def test_paintbrush_mask_labeling(image_dir, tmp_path):
+    s = LabelSession(image_dir, str(tmp_path / "out"))
+    s.new_mask(64, 48)
+    # paint two separate blobs
+    for x in range(12, 20):
+        s.paint(x, 12, brush_size=6)
+    for x in range(40, 46):
+        s.paint(x, 30, brush_size=6, shape="circle")
+    # erase part of the first blob
+    s.paint(14, 12, brush_size=2, erase=True)
+    added = s.mask_to_polygons(label="pallet")
+    assert added == 2
+    assert all(p.label == "pallet" for p in s.current)
+    b0 = s.current[0].bbox()
+    assert b0[0] >= 8 and b0[2] <= 24  # first blob's extent
+
+
 def test_labeler_http(image_dir, tmp_path):
     from icp_slam_yolo_tpu.serve.labeler_app import make_labeler_handler
     from http.server import ThreadingHTTPServer
