@@ -159,6 +159,37 @@ def bench_detect(batch: int = 8, img_size: int = 640, repeats: int = 6) -> float
     return batch / float(np.median(times[2:]))
 
 
+def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
+    """Multi-robot fleet throughput: vmapped SLAM over n_robots streams
+    (BASELINE.json config 5) — total scans/sec across the fleet."""
+    import jax
+    import jax.numpy as jnp
+
+    from icp_slam_yolo_tpu.config import IcpConfig, MapConfig, OccupancyConfig, SlamConfig
+    from icp_slam_yolo_tpu.io import scans as scans_io
+    from icp_slam_yolo_tpu.parallel.fleet import fleet_run_sequence
+
+    cfg = SlamConfig(
+        map=MapConfig(width_mm=12000.0, height_mm=12000.0),
+        icp=IcpConfig(early_exit=False),
+        occupancy=OccupancyConfig(window_px=100, max_ray_px=112),
+        map_capacity=4096,
+    )
+    scans, _, _ = scans_io.load_sequence("/root/reference/Scan_data_1", 1, n_scans + 1, n_max=cfg.n_max)
+    stack = jnp.asarray(np.stack([scans] * n_robots))
+    state, outs = fleet_run_sequence(stack, cfg)
+    jax.block_until_ready(state.pose)
+    times = []
+    for k in range(3):
+        perturbed = stack.at[:, :, :, 2].add(1e-4 * (k + 1))
+        jax.block_until_ready(perturbed)
+        t0 = time.perf_counter()
+        state, outs = fleet_run_sequence(perturbed, cfg)
+        jax.block_until_ready(state.pose)
+        times.append(time.perf_counter() - t0)
+    return n_robots * n_scans / float(np.median(times))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="also run secondary benchmarks (stderr)")
@@ -173,6 +204,8 @@ def main():
         print(f"# full-sequence SLAM loop: {seq_hz:.1f} scans/s (reference target: 10 Hz)", file=sys.stderr)
         fps = bench_detect()
         print(f"# YOLO detect: {fps:.1f} FPS @640px (reference cameras: ~10 Hz)", file=sys.stderr)
+        fleet = bench_fleet()
+        print(f"# fleet SLAM (8 robots, vmapped): {fleet:.1f} scans/s total", file=sys.stderr)
         print(f"# baseline (NumPy oracle, CPU): {base:.1f} reg/s", file=sys.stderr)
 
     print(
