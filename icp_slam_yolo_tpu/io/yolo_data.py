@@ -106,6 +106,92 @@ def load_example(img_path: str, lbl_path: str, img_size: int):
     return arr, classes, boxes
 
 
+class DeviceYoloDataset:
+    """Device-resident dataset: all images/labels live in HBM; batches are
+    on-device gathers driven by tiny per-step index transfers.
+
+    Two reasons: (1) zero per-step host->device image traffic (the axon
+    client leaks every transferred buffer host-side — a 640px batch-16 run
+    leaks ~113 MB/step and OOMs around step 1200); (2) batch assembly runs at
+    HBM speed.  hflip augmentation happens on device from per-sample flags.
+    Fits easily: the full pallet dataset is ~3.1 GB f32 at 640px vs 16 GB HBM.
+    """
+
+    def __init__(self, root: str, img_size: int = 640, batch_size: int = 16, max_gt: int = 32,
+                 seed: int = 0, augment: bool = False, task: str = "detect"):
+        import jax
+        import jax.numpy as jnp
+
+        pairs = find_pairs(root)
+        if not pairs:
+            raise FileNotFoundError(f"no images under {root}")
+        n, s, m = len(pairs), img_size, max_gt
+        images = np.zeros((n, s, s, 3), np.float32)
+        boxes = np.zeros((n, m, 4), np.float32)
+        classes = np.zeros((n, m), np.int32)
+        valid = np.zeros((n, m), bool)
+        angles = np.zeros((n, m), np.float32)
+        for i, (ip, lp) in enumerate(pairs):
+            img, cls, bxs = load_example(ip, lp, s)
+            images[i] = img
+            k = min(len(cls), m)
+            boxes[i, :k] = bxs[:k]
+            classes[i, :k] = cls[:k]
+            valid[i, :k] = True
+            if task == "obb":
+                _, polys = parse_polygons(lp)
+                for j, poly in enumerate(polys[:m]):
+                    angles[i, j] = polygon_angle(poly)
+        self.n = n
+        self.img_size = s
+        self.batch_size = batch_size
+        self.augment = augment
+        self.task = task
+        self.rng = np.random.default_rng(seed)
+        self._d = {
+            "images": jax.device_put(images),
+            "boxes": jax.device_put(boxes),
+            "classes": jax.device_put(classes),
+            "valid": jax.device_put(valid),
+        }
+        if task == "obb":
+            self._d["angles"] = jax.device_put(angles)
+
+        @jax.jit
+        def gather(data, idx, flips):
+            imgs = data["images"][idx]
+            bxs = data["boxes"][idx]
+            if augment:
+                flipped = imgs[:, :, ::-1]
+                imgs = jnp.where(flips[:, None, None, None], flipped, imgs)
+                fx1 = s - bxs[..., 2]
+                fx2 = s - bxs[..., 0]
+                fb = jnp.stack([fx1, bxs[..., 1], fx2, bxs[..., 3]], axis=-1)
+                bxs = jnp.where(flips[:, None, None], fb, bxs)
+            out = {
+                "images": imgs,
+                "boxes": bxs,
+                "classes": data["classes"][idx],
+                "valid": data["valid"][idx],
+            }
+            if "angles" in data:
+                out["angles"] = data["angles"][idx]
+            return out
+
+        self._gather = gather
+
+    def __len__(self):
+        return self.n
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        while True:
+            idx = self.rng.choice(self.n, self.batch_size, replace=self.n < self.batch_size)
+            flips = self.rng.random(self.batch_size) < 0.5 if self.augment else np.zeros(self.batch_size, bool)
+            yield self._gather(self._d, jnp.asarray(idx, jnp.int32), jnp.asarray(flips))
+
+
 class YoloDataset:
     """Shuffled batch iterator with fixed-shape padded labels."""
 

@@ -26,15 +26,17 @@ def main():
     args = ap.parse_args()
 
     from icp_slam_yolo_tpu.io.checkpoint import save_checkpoint
-    from icp_slam_yolo_tpu.io.yolo_data import YoloDataset
+    from icp_slam_yolo_tpu.io.yolo_data import DeviceYoloDataset
     from icp_slam_yolo_tpu.models.detect import Detector
     from icp_slam_yolo_tpu.models.eval import evaluate_detector
     from icp_slam_yolo_tpu.models.train import create_train_state, make_train_step
     from icp_slam_yolo_tpu.models.yolo import YOLO
 
-    ds = YoloDataset(args.data + "/train", img_size=args.img_size,
-                     batch_size=args.batch_size, max_gt=16, augment=True)
-    print(f"train images: {len(ds)}", flush=True)
+    # device-resident dataset: per-step host->device transfers leak in this
+    # environment (a batch-16 640px run OOM-killed the host at ~step 1150)
+    ds = DeviceYoloDataset(args.data + "/train", img_size=args.img_size,
+                           batch_size=args.batch_size, max_gt=16, augment=True)
+    print(f"train images: {len(ds)} (device-resident)", flush=True)
     model = YOLO(num_classes=1)
     state, tx = create_train_state(model, args.img_size, total_steps=args.steps)
     step_fn = jax.jit(make_train_step(model, tx, args.img_size))
@@ -42,8 +44,7 @@ def main():
     it = iter(ds)
     t0 = time.time()
     for i in range(args.steps):
-        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
-        state, metrics = step_fn(state, batch)
+        state, metrics = step_fn(state, next(it))
         if (i + 1) % 50 == 0 or i == 0:
             print(
                 f"step {i+1}/{args.steps} loss={float(metrics['loss']):.3f} "
@@ -52,6 +53,10 @@ def main():
                 f"({(time.time()-t0)/(i+1):.2f}s/step)",
                 flush=True,
             )
+        if (i + 1) % 250 == 0:
+            save_checkpoint(args.out, state.params, state.batch_stats,
+                            meta={"img_size": args.img_size, "num_classes": 1,
+                                  "variant": "n", "task": "detect", "steps": i + 1})
 
     save_checkpoint(args.out, state.params, state.batch_stats,
                     meta={"img_size": args.img_size, "num_classes": 1,
