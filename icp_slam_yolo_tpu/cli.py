@@ -73,11 +73,12 @@ def cmd_bench(args):
 
 
 def cmd_train(args):
-    from icp_slam_yolo_tpu.io.yolo_data import YoloDataset
+    from icp_slam_yolo_tpu.io.yolo_data import DeviceYoloDataset
     from icp_slam_yolo_tpu.models.train import create_train_state, fit
     from icp_slam_yolo_tpu.models.yolo import YOLO
 
-    ds = YoloDataset(args.data, img_size=args.img_size, batch_size=args.batch_size, max_gt=args.max_gt)
+    ds = DeviceYoloDataset(args.data, img_size=args.img_size, batch_size=args.batch_size,
+                           max_gt=args.max_gt, augment=True, task=args.task)
     steps = args.steps or (len(ds) // args.batch_size) * args.epochs
     model = YOLO(num_classes=args.num_classes, variant=args.variant, task=args.task)
     state, history = fit(model, iter(ds), args.img_size, steps)

@@ -122,8 +122,7 @@ def fit(
     step_fn = jax.jit(make_train_step(model, tx, img_size))
     history = []
     for i in range(steps):
-        batch = next(dataset_iter)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch = {k: jnp.asarray(v) for k, v in next(dataset_iter).items()}
         state, metrics = step_fn(state, batch)
         if (i + 1) % log_every == 0 or i == 0:
             m = {k: float(v) for k, v in metrics.items()}
