@@ -178,8 +178,12 @@ def icp(src_points, tgt_points, init_pose=None, cfg: IcpConfig = IcpConfig(), pa
     Returns `RegistrationResult`.  Mirrors the `register(src, dst)` contract of
     `ds.py:16-26` with an SE(2) result.
     """
-    s, sv = _pad_points(np.asarray(src_points), pad_to)
-    t, tv = _pad_points(np.asarray(tgt_points), max(pad_to, len(np.asarray(tgt_points))))
+    def _round_up(n: int, mult: int) -> int:
+        return -(-n // mult) * mult
+
+    s, sv = _pad_points(np.asarray(src_points), _round_up(min(len(np.asarray(src_points)), pad_to) or 8, 8))
+    # target length rounds up to the lane width (the fused kernel requires it)
+    t, tv = _pad_points(np.asarray(tgt_points), _round_up(max(pad_to, len(np.asarray(tgt_points))), 128))
     init = geo.se2_identity() if init_pose is None else jnp.asarray(init_pose, jnp.float32)
     return icp_masked_jit(s, sv, t, tv, init, cfg)
 
@@ -205,8 +209,8 @@ def gicp(points1, points2, threshold: float = 200.0, voxel_size: float = 20.0, t
         return float("inf"), np.eye(4)
 
     cfg = IcpConfig(threshold_mm=float(threshold), voxel_size_mm=float(voxel_size))
-    n1 = int(2 ** int(np.ceil(np.log2(max(len(p1), 64)))))
-    n2 = int(2 ** int(np.ceil(np.log2(max(len(p2), 64)))))
+    n1 = -(-len(p1) // 8) * 8
+    n2 = -(-len(p2) // 128) * 128  # lane alignment for the fused kernel
     s, sv = _pad_points(p1, n1)
     t, tv = _pad_points(p2, n2)
     s, sv = voxel_downsample(s, sv, cfg.voxel_size_mm)
