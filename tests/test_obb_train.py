@@ -66,6 +66,30 @@ def test_obb_train_step_decreases():
     assert all(np.isfinite(losses))
 
 
+def test_render_primitives():
+    from icp_slam_yolo_tpu.config import MapConfig
+    from icp_slam_yolo_tpu.io.render import draw_points, draw_robot_pose, draw_target, occupancy_rgb
+
+    mc = MapConfig()
+    img = occupancy_rgb(np.full((mc.height_px, mc.width_px), 0.5))
+    assert img.shape == (mc.height_px, mc.width_px, 3) and img[0, 0, 0] == 127
+
+    draw_points(img, np.array([[0.0, 0.0], [3000.0, 0.0]]), mc)
+    cx, cy = mc.center_px
+    assert tuple(img[cy, cx]) == (0, 255, 0)
+    assert tuple(img[cy, cx + 100]) == (0, 255, 0)
+
+    draw_robot_pose(img, (0.0, 0.0, 0.0), mc)
+    assert tuple(img[cy, cx]) == (0, 0, 255)          # robot dot
+    assert tuple(img[cy, cx + 8]) == (255, 0, 0)      # heading ray along +x
+
+    draw_target(img, (-3000.0, 0.0), mc)
+    assert tuple(img[cy, cx - 100]) == (255, 255, 0)
+
+    # out-of-bounds points must not crash or wrap
+    draw_points(img, np.array([[1e6, 1e6]]), mc)
+
+
 def test_icp_debug_view():
     from icp_slam_yolo_tpu.io.render import icp_debug_view
 
