@@ -148,6 +148,24 @@ def detection_loss(
         )(pred_scores, pred_boxes, gt_boxes, gt_classes, gt_valid)
     )
 
+    # representability gate: an anchor whose assigned box needs an ltrb
+    # distance beyond reg_max-1 bins CANNOT express it (the DFL ceiling at
+    # stride 8 is 120 px — wide pallets saturate, and the saturated-but-
+    # confident stride-8 anchors then win NMS with systematically clipped
+    # boxes, capping val IoU at ~0.87).  Drop those anchors from fg entirely
+    # so representable coarser-stride anchors carry the object.
+    tgt_boxes = jnp.take_along_axis(gt_boxes, assigned_gt[..., None], axis=1)  # (B, A, 4)
+    raw_ltrb = jnp.concatenate(
+        [
+            (anchors[None] - tgt_boxes[..., :2]) / strides[None, :, None],
+            (tgt_boxes[..., 2:] - anchors[None]) / strides[None, :, None],
+        ],
+        axis=-1,
+    )
+    representable = jnp.all(raw_ltrb < reg_max - 1.01, axis=-1)
+    fg = fg & representable
+    tgt_scores = tgt_scores * fg[..., None]
+
     norm = jnp.maximum(jnp.sum(tgt_scores), 1.0)
 
     # classification: BCE against soft target scores over ALL anchors
@@ -155,20 +173,12 @@ def detection_loss(
     loss_cls = jnp.sum(bce) / norm
 
     # box: CIoU on foreground anchors, weighted by target score
-    tgt_boxes = jnp.take_along_axis(gt_boxes, assigned_gt[..., None], axis=1)  # (B, A, 4)
     w_fg = jnp.sum(tgt_scores, axis=-1) * fg  # (B, A)
     iou_term = 1.0 - ciou(pred_boxes, tgt_boxes)
     loss_box = jnp.sum(iou_term * w_fg) / norm
 
     # DFL: cross-entropy between the two integer bins bracketing the target ltrb
-    tgt_ltrb = jnp.concatenate(
-        [
-            (anchors[None] - tgt_boxes[..., :2]) / strides[None, :, None],
-            (tgt_boxes[..., 2:] - anchors[None]) / strides[None, :, None],
-        ],
-        axis=-1,
-    )
-    tgt_ltrb = jnp.clip(tgt_ltrb, 0, reg_max - 1 - 0.01)
+    tgt_ltrb = jnp.clip(raw_ltrb, 0, reg_max - 1 - 0.01)
     tl = jnp.floor(tgt_ltrb)
     wr = tgt_ltrb - tl
     logits = box_l.reshape(*box_l.shape[:-1], 4, reg_max)
