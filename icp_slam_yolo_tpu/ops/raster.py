@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from icp_slam_yolo_tpu.config import MapConfig, OccupancyConfig
@@ -135,19 +136,24 @@ def update_occupancy(
     body = body & (i < first_block)
     endpoint = endpoint & (first_block == k)
 
-    flat = pyc * w + pxc
-    free_n = jnp.zeros(h * w, jnp.float32).at[flat.reshape(-1)].add(
-        body.reshape(-1).astype(jnp.float32)
-    )
-    occ_n = jnp.zeros(h * w, jnp.float32).at[flat.reshape(-1)].add(
-        endpoint.reshape(-1).astype(jnp.float32)
-    )
-    free_n = free_n.reshape(h, w)
-    occ_n = occ_n.reshape(h, w)
+    # scatter + probability update restricted to a FIXED-SIZE window slice:
+    # the reference's (possibly edge-shrunk) update window always fits inside
+    # a clamped-origin window of side `ww`, so semantics are unchanged while
+    # the elementwise update touches ~80k cells instead of the whole grid.
+    ww = min(2 * win, w)
+    wh = min(2 * win, h)
+    x1s = jnp.clip(rx - win, 0, w - ww)
+    y1s = jnp.clip(ry - win, 0, h - wh)
+    lx = jnp.clip(pxc - x1s, 0, ww - 1)
+    ly = jnp.clip(pyc - y1s, 0, wh - 1)
+    flat = (ly * ww + lx).reshape(-1)
+    free_n = jnp.zeros(wh * ww, jnp.float32).at[flat].add(body.reshape(-1).astype(jnp.float32))
+    occ_n = jnp.zeros(wh * ww, jnp.float32).at[flat].add(endpoint.reshape(-1).astype(jnp.float32))
 
-    p = occ * jnp.power(jnp.float32(occ_cfg.p_free_decay), free_n)
-    p = jnp.minimum(1.0, p + occ_cfg.p_occ_inc * occ_n)
-    return p
+    win_p = jax.lax.dynamic_slice(occ, (y1s, x1s), (wh, ww))
+    win_p = win_p * jnp.power(jnp.float32(occ_cfg.p_free_decay), free_n.reshape(wh, ww))
+    win_p = jnp.minimum(1.0, win_p + occ_cfg.p_occ_inc * occ_n.reshape(wh, ww))
+    return jax.lax.dynamic_update_slice(occ, win_p, (y1s, x1s))
 
 
 def occupancy_keep_mask(

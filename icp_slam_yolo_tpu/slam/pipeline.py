@@ -92,9 +92,17 @@ def make_step(cfg: SlamConfig = SlamConfig()):
         use_local = jnp.sum(local) >= cfg.min_local_map_points
         tgt_valid = jnp.where(use_local, local, state.map_valid)
 
+        # compact the target into a smaller buffer so the ICP kernel sweeps
+        # local_map_capacity slots instead of the full map buffer (pure
+        # optimisation: masked-out points contribute nothing either way)
+        if cfg.local_map_capacity < cfg.map_capacity:
+            tgt_xy, tgt_valid = compact(state.map_xy, tgt_valid, cfg.local_map_capacity)
+        else:
+            tgt_xy = state.map_xy
+
         # the reference downsamples the scan before GICP (`gicp_lidar.py:20`)
         ds_xy, ds_valid = voxel_downsample(xy, valid, cfg.icp.voxel_size_mm)
-        res = icp_masked(ds_xy, ds_valid, state.map_xy, tgt_valid, state.pose, cfg.icp)
+        res = icp_masked(ds_xy, ds_valid, tgt_xy, tgt_valid, state.pose, cfg.icp)
         accepted = enough & (res.rmse <= cfg.icp.max_rmse)
 
         def do_update(op):
