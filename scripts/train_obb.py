@@ -23,11 +23,11 @@ def main():
     args = ap.parse_args()
 
     from icp_slam_yolo_tpu.io.checkpoint import save_checkpoint
-    from icp_slam_yolo_tpu.io.yolo_data import YoloDataset
+    from icp_slam_yolo_tpu.io.yolo_data import DeviceYoloDataset
     from icp_slam_yolo_tpu.models.train import create_train_state, make_train_step
     from icp_slam_yolo_tpu.models.yolo import YOLO
 
-    ds = YoloDataset(args.data + "/training", img_size=args.img_size,
+    ds = DeviceYoloDataset(args.data + "/training", img_size=args.img_size,
                      batch_size=args.batch_size, max_gt=16, task="obb")
     print(f"obb train images: {len(ds)}", flush=True)
     model = YOLO(num_classes=1, task="obb")
