@@ -144,9 +144,10 @@ class SlamConfig:
 
     n_max: int = 512          # max points per scan (observed max 405)
     map_capacity: int = 24576  # the reference's saved map has 18908 points
-    local_map_capacity: int = 8192  # ICP target buffer: the radius-cropped
-    # local map compacts into this before registration (3x less kernel sweep
-    # than scanning the full map buffer; a 10 m-radius crop holds ~2-4k points)
+    local_map_capacity: int = 24576  # ICP target buffer size.  Equal to
+    # map_capacity = no compaction (default).  Setting it lower speeds up the
+    # kernel sweep but silently drops local points once the radius crop
+    # outgrows it — only safe when sized generously for the arena.
 
     def replace(self, **kw) -> "SlamConfig":
         return dataclasses.replace(self, **kw)

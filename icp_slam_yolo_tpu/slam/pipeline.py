@@ -92,9 +92,11 @@ def make_step(cfg: SlamConfig = SlamConfig()):
         use_local = jnp.sum(local) >= cfg.min_local_map_points
         tgt_valid = jnp.where(use_local, local, state.map_valid)
 
-        # compact the target into a smaller buffer so the ICP kernel sweeps
-        # local_map_capacity slots instead of the full map buffer (pure
-        # optimisation: masked-out points contribute nothing either way)
+        # optional: compact the target into a smaller buffer so the ICP kernel
+        # sweeps fewer slots.  OFF by default: once the global map outgrows the
+        # cap, the radius crop exceeds it too and dropping points degrades
+        # registration (full-1800-replay acceptance fell 1448 -> 621 with an
+        # 8192 cap).  Safe when local_map_capacity is sized for the arena.
         if cfg.local_map_capacity < cfg.map_capacity:
             tgt_xy, tgt_valid = compact(state.map_xy, tgt_valid, cfg.local_map_capacity)
         else:
