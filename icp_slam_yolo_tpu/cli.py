@@ -58,6 +58,27 @@ def cmd_serve(args):
     from icp_slam_yolo_tpu.serve.state import ServerState
 
     state = ServerState(OFFLINE_CONFIG.replace(map_capacity=args.map_capacity), work_dir=args.work_dir)
+    if args.weights and args.camera_dir:
+        # the fused perception loop: trigger-gated stereo detect -> pallet
+        # alignment on the SSE stream -> landmark fusion
+        from icp_slam_yolo_tpu.acquisition.camera import ReplayCamera, StereoCapture
+        from icp_slam_yolo_tpu.io.checkpoint import load_checkpoint
+        from icp_slam_yolo_tpu.models.detect import Detector
+
+        payload, _, meta = load_checkpoint(args.weights)
+        detector = Detector(
+            num_classes=meta.get("num_classes", 1),
+            img_size=meta.get("img_size", 640),
+            conf_threshold=0.5,
+            params=payload,
+        )
+        stereo = StereoCapture(
+            ReplayCamera(args.camera_dir, "anh_1"),
+            ReplayCamera(args.camera_dir, "anh_2"),
+            os.path.join(args.work_dir, "captures"),
+        )
+        state.attach_camera(detector, stereo)
+        print(f"fused perception loop attached (weights: {args.weights})")
     if args.scan_dir:
         state.start_replay(args.scan_dir, args.start, args.end, rate_hz=args.rate)
     serve(state, args.host, args.port)
@@ -155,6 +176,8 @@ def main(argv=None):
     s.add_argument("--port", type=int, default=5000)
     s.add_argument("--work-dir", default=".")
     s.add_argument("--map-capacity", type=int, default=8192)
+    s.add_argument("--weights", default=None, help="detector checkpoint for the fused loop")
+    s.add_argument("--camera-dir", default=None, help="stereo frame source (anh_1_*/anh_2_*)")
     s.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="performance benchmark")

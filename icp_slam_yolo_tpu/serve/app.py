@@ -56,14 +56,19 @@ _INDEX_HTML = """<!doctype html>
  <button onclick="fetch('/save_frame')">save frame</button>
 </div>
 <canvas id="map" width="1000" height="833"></canvas>
+<img id="icp" width="300" height="300" style="vertical-align:top;border:1px solid #444" title="ICP debug view">
 <script>
 const ctx = document.getElementById('map').getContext('2d');
-let pois = [];
+let pois = [], landmarks = [];
 async function refreshPois(){
   const r = await fetch('/get_points_of_interest');
   pois = (await r.json()).points;
 }
 refreshPois();
+setInterval(async () => {
+  document.getElementById('icp').src = '/icp_image?t=' + Date.now();
+  landmarks = (await (await fetch('/landmarks')).json()).landmarks;
+}, 2000);
 function saveMap(){
   const name = prompt('filename base', 'map_1');
   if(name) fetch('/save_map?filename=' + encodeURIComponent(name));
@@ -86,6 +91,15 @@ es.onmessage = (ev) => {
   }
   ctx.fillStyle = '#ff0';
   for (const p of pois){ ctx.beginPath(); ctx.arc(p.pos_px[0], p.pos_px[1], 5, 0, 7); ctx.fill(); }
+  ctx.fillStyle = '#f0f';  // fused pallet landmarks
+  for (const lm of landmarks){
+    ctx.fillRect(lm.px - 4, lm.py - 4, 8, 8);
+    ctx.fillText('pallet x' + lm.n_obs, lm.px + 6, lm.py);
+  }
+  if (d.camera_data){
+    document.getElementById('stats').textContent +=
+      ` | pallet: ${d.camera_data.distance_mm}mm yaw ${d.camera_data.yaw_deg}°`;
+  }
 };
 </script></body></html>
 """
