@@ -58,6 +58,7 @@ def cmd_serve(args):
     from icp_slam_yolo_tpu.serve.state import ServerState
 
     state = ServerState(OFFLINE_CONFIG.replace(map_capacity=args.map_capacity), work_dir=args.work_dir)
+    detector = None
     if args.weights and args.camera_dir:
         # the fused perception loop: trigger-gated stereo detect -> pallet
         # alignment on the SSE stream -> landmark fusion
@@ -79,6 +80,9 @@ def cmd_serve(args):
         )
         state.attach_camera(detector, stereo)
         print(f"fused perception loop attached (weights: {args.weights})")
+    print("warming up compiled paths...", flush=True)
+    state.warmup(detector)
+    print("warmup done", flush=True)
     if args.scan_dir:
         state.start_replay(args.scan_dir, args.start, args.end, rate_hz=args.rate)
     serve(state, args.host, args.port)
@@ -133,6 +137,42 @@ def cmd_detect(args):
             "scores": out["scores"].tolist(),
             "classes": out["classes"].tolist(),
         }))
+
+
+def cmd_comm_hub(args):
+    """Run the robot-side comm hub (the ESP_AP role): broadcast stdin lines as
+    telemetry, print inbound command lines, echo handshakes."""
+    import threading
+    import time as _time
+
+    from icp_slam_yolo_tpu.native.robotlink import RobotLinkServer
+
+    with RobotLinkServer(args.port) as hub:
+        print(f"comm hub on 127.0.0.1:{args.port} (max 2 clients); echoing handshakes")
+        try:
+            while True:
+                line = hub.read_command()
+                if line is not None:
+                    print(f"<- {line}", flush=True)
+                    if args.echo:
+                        hub.broadcast(line)
+                _time.sleep(0.01)
+        except KeyboardInterrupt:
+            pass
+
+
+def cmd_comm_send(args):
+    """Station role: connect, handshake, send one line, print replies."""
+    from icp_slam_yolo_tpu.native.robotlink import RobotLinkClient
+
+    with RobotLinkClient(args.host, args.port) as client:
+        if args.handshake:
+            retries = client.handshake(args.handshake)
+            print(f"handshake '{args.handshake}' ok ({retries} retries)")
+        if args.message:
+            client.send(args.message)
+            reply = client.read_line(args.timeout_ms)
+            print(f"-> {args.message}\n<- {reply}")
 
 
 def cmd_label_check(args):
@@ -204,6 +244,19 @@ def main(argv=None):
     d.add_argument("--num-classes", type=int, default=1)
     d.add_argument("--conf", type=float, default=0.5)
     d.set_defaults(fn=cmd_detect)
+
+    ch = sub.add_parser("comm-hub", help="run the robot comm hub (ESP_AP role)")
+    ch.add_argument("--port", type=int, default=8900)
+    ch.add_argument("--echo", action="store_true", help="echo lines back (handshake partner)")
+    ch.set_defaults(fn=cmd_comm_hub)
+
+    cs = sub.add_parser("comm-send", help="station client: handshake/send a line")
+    cs.add_argument("--host", default="127.0.0.1")
+    cs.add_argument("--port", type=int, default=8900)
+    cs.add_argument("--handshake", default=None)
+    cs.add_argument("--message", default=None)
+    cs.add_argument("--timeout-ms", type=int, default=1000)
+    cs.set_defaults(fn=cmd_comm_send)
 
     lc = sub.add_parser("label-check", help="validate YOLO label files")
     lc.add_argument("directory")

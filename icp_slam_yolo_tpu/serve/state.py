@@ -129,6 +129,20 @@ class ServerState:
                 self.camera_trigger = False
         return out
 
+    def warmup(self, detector=None) -> None:
+        """Precompile the hot paths before serving: the first jit compile
+        freezes every thread in this environment (remote compile holds the
+        GIL ~1-3 min), so trigger it up front rather than mid-stream."""
+        synth = np.zeros((64, 3))
+        synth[:, 0] = 30.0
+        synth[:, 1] = np.linspace(0, 100, 64)
+        synth[:, 2] = 2000.0
+        self.feed_scan(synth)
+        self.engine.reset()
+        self.last_scan_points_px = []
+        if detector is not None:
+            detector(np.zeros((480, 640, 3), np.uint8))
+
     def start_replay(self, scan_dir: str, start: int = 1, end: int | None = None, rate_hz: float = 10.0):
         """Background replay thread (the reference's `update_map` daemon)."""
         from icp_slam_yolo_tpu.io import scans as scans_io
