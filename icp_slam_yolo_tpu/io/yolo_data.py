@@ -88,6 +88,15 @@ def polygon_angle(poly: np.ndarray) -> float:
     return ang
 
 
+def rasterize_polygon(poly_px: np.ndarray, size: int) -> np.ndarray:
+    """Fill a polygon (pixel coords at the target resolution) into a float mask."""
+    from PIL import Image, ImageDraw
+
+    img = Image.new("L", (size, size), 0)
+    ImageDraw.Draw(img).polygon([tuple(p) for p in poly_px.tolist()], fill=1)
+    return np.asarray(img, np.float32)
+
+
 def load_example(img_path: str, lbl_path: str, img_size: int):
     """Decode + nearest-resize one example; boxes to xyxy pixels at img_size."""
     img = Image.open(img_path).convert("RGB")
@@ -126,11 +135,13 @@ class DeviceYoloDataset:
         if not pairs:
             raise FileNotFoundError(f"no images under {root}")
         n, s, m = len(pairs), img_size, max_gt
+        sp = s // 4  # proto-mask resolution
         images = np.zeros((n, s, s, 3), np.float32)
         boxes = np.zeros((n, m, 4), np.float32)
         classes = np.zeros((n, m), np.int32)
         valid = np.zeros((n, m), bool)
         angles = np.zeros((n, m), np.float32)
+        masks = np.zeros((n, m, sp, sp), np.float32) if task == "segment" else None
         for i, (ip, lp) in enumerate(pairs):
             img, cls, bxs = load_example(ip, lp, s)
             images[i] = img
@@ -142,6 +153,10 @@ class DeviceYoloDataset:
                 _, polys = parse_polygons(lp)
                 for j, poly in enumerate(polys[:m]):
                     angles[i, j] = polygon_angle(poly)
+            elif task == "segment":
+                _, polys = parse_polygons(lp)
+                for j, poly in enumerate(polys[:m]):
+                    masks[i, j] = rasterize_polygon(poly * sp, sp)
         self.n = n
         self.img_size = s
         self.batch_size = batch_size
@@ -156,6 +171,8 @@ class DeviceYoloDataset:
         }
         if task == "obb":
             self._d["angles"] = jax.device_put(angles)
+        if task == "segment":
+            self._d["masks"] = jax.device_put(masks)
 
         @jax.jit
         def gather(data, idx, flips):
@@ -176,6 +193,11 @@ class DeviceYoloDataset:
             }
             if "angles" in data:
                 out["angles"] = data["angles"][idx]
+            if "masks" in data:
+                mk = data["masks"][idx]
+                if augment:
+                    mk = jnp.where(flips[:, None, None, None], mk[:, :, :, ::-1], mk)
+                out["masks"] = mk
             return out
 
         self._gather = gather

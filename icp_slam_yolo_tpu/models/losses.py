@@ -116,6 +116,7 @@ def detection_loss(
     weights: LossWeights = LossWeights(),
     gt_angles: jnp.ndarray | None = None,  # (B, M) rad — OBB task
     angle_weight: float = 1.0,
+    return_aux: bool = False,
 ):
     """Total loss (scalar) + metric dict for a batch of head outputs.
 
@@ -210,4 +211,69 @@ def detection_loss(
         metrics["loss_angle"] = loss_ang
 
     metrics["loss"] = total
+    if return_aux:
+        return total, metrics, {"assigned_gt": assigned_gt, "fg": fg, "w_fg": w_fg, "norm": norm}
     return total, metrics
+
+
+def segmentation_loss(
+    outs,
+    protos: jnp.ndarray,      # (B, Hp, Wp, P)
+    gt_boxes: jnp.ndarray,
+    gt_classes: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    gt_masks: jnp.ndarray,    # (B, M, Hp, Wp) float instance masks at proto res
+    img_size: int,
+    num_classes: int,
+    reg_max: int = 16,
+    weights: LossWeights = LossWeights(),
+    max_fg: int = 64,
+    mask_weight: float = 2.0,
+):
+    """Detection loss + per-instance mask loss (v8-seg style).
+
+    Masks: for the top ``max_fg`` foreground anchors (by assignment weight),
+    predict ``sigmoid(protos @ coeffs)``, crop to the assigned gt box, and take
+    BCE against the gt instance mask — normalised per-instance by box area
+    (Ultralytics' area normalisation), fixed-shape via top-k selection.
+    """
+    det_total, metrics, aux = detection_loss(
+        outs, gt_boxes, gt_classes, gt_valid, img_size, num_classes, reg_max,
+        weights, return_aux=True,
+    )
+    coef_l = jnp.concatenate(
+        [o[2].reshape(o[2].shape[0], -1, o[2].shape[-1]) for o in outs], axis=1
+    ).astype(jnp.float32)  # (B, A, P)
+
+    b, hp, wp, p = protos.shape
+    scale = hp / img_size
+
+    def per_image(coefs, proto, assigned, w_fg, g_boxes, g_masks):
+        w_top, idx = jax.lax.top_k(w_fg, max_fg)            # (K,)
+        sel_gt = assigned[idx]                               # (K,)
+        c = coefs[idx]                                       # (K, P)
+        logits = jnp.einsum("hwp,kp->khw", proto, c)         # (K, Hp, Wp)
+        tgt = g_masks[sel_gt]                                # (K, Hp, Wp)
+        box = g_boxes[sel_gt] * scale                        # (K, 4) proto px
+        ys = jnp.arange(hp, dtype=jnp.float32)[None, :, None]
+        xs = jnp.arange(wp, dtype=jnp.float32)[None, None, :]
+        inside = (
+            (xs >= box[:, 0, None, None]) & (xs < box[:, 2, None, None])
+            & (ys >= box[:, 1, None, None]) & (ys < box[:, 3, None, None])
+        ).astype(jnp.float32)
+        bce = optax_sigmoid_bce(logits, tgt) * inside        # (K, Hp, Wp)
+        area = jnp.maximum((box[:, 2] - box[:, 0]) * (box[:, 3] - box[:, 1]), 1.0)
+        per_inst = jnp.sum(bce, axis=(1, 2)) / area          # (K,)
+        w = (w_top > 0).astype(jnp.float32)
+        return jnp.sum(per_inst * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    loss_mask = jnp.mean(
+        jax.vmap(per_image)(coef_l, protos.astype(jnp.float32), aux["assigned_gt"], aux["w_fg"], gt_boxes, gt_masks)
+    )
+    total = det_total + mask_weight * loss_mask
+    metrics = dict(metrics, loss_mask=loss_mask, loss=total)
+    return total, metrics
+
+
+def optax_sigmoid_bce(logits, labels):
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))

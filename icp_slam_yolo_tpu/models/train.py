@@ -80,17 +80,26 @@ def make_train_step(model: YOLO, tx, img_size: int, weights: LossWeights = LossW
     """
 
     def loss_fn(params, batch_stats, batch):
-        outs, mutated = model.apply(
+        out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"],
             train=True,
             mutable=["batch_stats"],
         )
-        total, metrics = detection_loss(
-            outs, batch["boxes"], batch["classes"], batch["valid"],
-            img_size, model.num_classes, model.reg_max, weights,
-            gt_angles=batch.get("angles"),
-        )
+        if model.task == "segment":
+            from icp_slam_yolo_tpu.models.losses import segmentation_loss
+
+            outs, protos = out
+            total, metrics = segmentation_loss(
+                outs, protos, batch["boxes"], batch["classes"], batch["valid"],
+                batch["masks"], img_size, model.num_classes, model.reg_max, weights,
+            )
+        else:
+            total, metrics = detection_loss(
+                out, batch["boxes"], batch["classes"], batch["valid"],
+                img_size, model.num_classes, model.reg_max, weights,
+                gt_angles=batch.get("angles"),
+            )
         return total, (metrics, mutated["batch_stats"])
 
     def step(state: TrainState, batch):
