@@ -167,6 +167,55 @@ class LabelSession:
             n += 1
         return n
 
+    def auto_label_segment(self, seg_model_apply, img_size: int, default_label: str | None = None,
+                           conf_threshold: float = 0.5, max_instances: int = 8) -> int:
+        """Segmentation-assisted auto-label (`auto_labels_segmentation.py:76-94`):
+        run a segment-task model, turn its instance masks into polygons scaled
+        to image pixels, and adopt them as labeled polygons.
+
+        ``seg_model_apply(images) -> (outs, protos)`` is a jitted forward of a
+        `YOLO(task="segment")` model.
+        """
+        import numpy as np
+        from PIL import Image
+
+        import jax.numpy as jnp
+
+        from icp_slam_yolo_tpu.models.segment import assemble_masks, mask_to_polygon
+        from icp_slam_yolo_tpu.models.yolo import decode_predictions
+
+        img = Image.open(self.images[self.index]).convert("RGB")
+        w, h = img.size
+        arr = np.asarray(img.resize((img_size, img_size)), np.float32) / 255.0
+        outs, protos = seg_model_apply(jnp.asarray(arr[None]))
+        boxes, scores, coefs = decode_predictions(outs, img_size)
+        # NMS so overlapping anchors yield one instance each
+        from icp_slam_yolo_tpu.ops.nms import best_class, nms
+
+        conf, cls_idx = best_class(scores[0])
+        dets = nms(boxes[0], conf, cls_idx, conf_threshold, 0.45, max_instances)
+        keep_mask = np.asarray(dets.valid)
+        if not keep_mask.any():
+            return 0
+        # recover the surviving anchors' coefficients by box identity
+        det_boxes = np.asarray(dets.boxes)[keep_mask]
+        all_boxes = np.asarray(boxes[0])
+        anchor_ids = [int(np.argmin(np.abs(all_boxes - b).sum(1))) for b in det_boxes]
+        masks = np.asarray(
+            assemble_masks(protos[0], coefs[0][np.asarray(anchor_ids)], jnp.asarray(det_boxes), img_size)
+        )
+        sp = masks.shape[1]
+        label = default_label or self.classes[0]
+        n = 0
+        for mask in masks:
+            poly = mask_to_polygon(mask)
+            if len(poly) < 3:
+                continue
+            scaled = poly / sp * np.array([w, h])
+            self.add_polygon(scaled.tolist(), label)
+            n += 1
+        return n
+
     def match_box(self, bbox, detector, iou_threshold: float = 0.3) -> int | None:
         """Manual bbox -> adopt the best-matching detection (IoU > 0.3,
         'm' key semantics, `auto_labels_segmentation.py:808-871`)."""

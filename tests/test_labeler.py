@@ -104,6 +104,24 @@ def test_paintbrush_mask_labeling(image_dir, tmp_path):
     assert b0[0] >= 8 and b0[2] <= 24  # first blob's extent
 
 
+def test_auto_label_segment(image_dir, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from icp_slam_yolo_tpu.models.yolo import YOLO
+
+    model = YOLO(num_classes=1, task="segment")
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
+    s = LabelSession(image_dir, str(tmp_path / "out"))
+    # untrained model at conf 0.5 -> no instances, no crash
+    assert s.auto_label_segment(fwd, 64, conf_threshold=0.5) == 0
+    # at conf ~0 the top instances become polygons
+    n = s.auto_label_segment(fwd, 64, conf_threshold=1e-9, max_instances=4)
+    assert 0 <= n <= 4
+    assert all(p.label == "pallet" for p in s.current)
+
+
 def test_labeler_http(image_dir, tmp_path):
     from icp_slam_yolo_tpu.serve.labeler_app import make_labeler_handler
     from http.server import ThreadingHTTPServer
