@@ -139,6 +139,44 @@ def cmd_detect(args):
         }))
 
 
+def cmd_register(args):
+    """Pairwise scan registration demo (`duc/ICP_LIDAR/ds.py` parity): load two
+    raw scans, gate, register, report (R, t, rmse) and save an overlay image."""
+    import numpy as np
+
+    from icp_slam_yolo_tpu.config import OFFLINE_GATE
+    from icp_slam_yolo_tpu.core.registration import register
+    from icp_slam_yolo_tpu.io import scans as scans_io
+    from icp_slam_yolo_tpu.reference_impl.oracle import polar_gate, se2_apply
+
+    a = polar_gate(scans_io.load_scan(args.target), OFFLINE_GATE)
+    b = polar_gate(scans_io.load_scan(args.source), OFFLINE_GATE)
+    r, t, rmse = register(b, a)
+    theta = float(np.arctan2(r[1, 0], r[0, 0]))
+    print(json.dumps({
+        "rmse_mm": round(rmse, 3),
+        "theta_rad": round(theta, 6),
+        "t_mm": [round(float(v), 2) for v in t],
+        "source_points": len(b),
+        "target_points": len(a),
+    }))
+    if args.output:
+        from PIL import Image
+
+        from icp_slam_yolo_tpu.io.render import icp_debug_view
+
+        aligned = se2_apply(np.array([t[0], t[1], theta]), b)
+        img = icp_debug_view(a, np.zeros((0, 2)), (0, 0, 0), size_px=800, mm_per_px=15.0)
+        # overlay: target blue (already), source red, aligned green
+        for pts, color in ((b, (255, 80, 80)), (aligned, (0, 255, 0))):
+            px = (400 + pts[:, 0] / 15.0).astype(int)
+            py = (400 - pts[:, 1] / 15.0).astype(int)
+            ok = (px >= 0) & (px < 800) & (py >= 0) & (py < 800)
+            img[py[ok], px[ok]] = color
+        Image.fromarray(img).save(args.output)
+        print(f"overlay saved to {args.output}")
+
+
 def cmd_comm_hub(args):
     """Run the robot-side comm hub (the ESP_AP role): broadcast stdin lines as
     telemetry, print inbound command lines, echo handshakes."""
@@ -244,6 +282,12 @@ def main(argv=None):
     d.add_argument("--num-classes", type=int, default=1)
     d.add_argument("--conf", type=float, default=0.5)
     d.set_defaults(fn=cmd_detect)
+
+    rg = sub.add_parser("register", help="pairwise scan registration demo")
+    rg.add_argument("source", help="source scan .npy (registered onto target)")
+    rg.add_argument("target", help="target scan .npy")
+    rg.add_argument("--output", default=None, help="overlay PNG path")
+    rg.set_defaults(fn=cmd_register)
 
     ch = sub.add_parser("comm-hub", help="run the robot comm hub (ESP_AP role)")
     ch.add_argument("--port", type=int, default=8900)

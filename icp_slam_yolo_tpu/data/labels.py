@@ -52,6 +52,83 @@ def check_labels(directory: str, fix: bool = False) -> LabelReport:
     return LabelReport(n_files=n_files, n_bad=n_bad, messages=messages)
 
 
+# --- LabelImg export formats (the vendored `labelImg.py` writes Pascal VOC
+# --- XML, YOLO txt and CreateML JSON) -----------------------------------------
+
+def write_voc_xml(path: str, image_name: str, img_size, objects) -> None:
+    """Pascal VOC annotation XML.  ``objects``: [(name, (x1, y1, x2, y2)), ...]."""
+    import xml.etree.ElementTree as ET
+
+    w, h = img_size
+    root = ET.Element("annotation")
+    ET.SubElement(root, "filename").text = image_name
+    size = ET.SubElement(root, "size")
+    ET.SubElement(size, "width").text = str(w)
+    ET.SubElement(size, "height").text = str(h)
+    ET.SubElement(size, "depth").text = "3"
+    for name, (x1, y1, x2, y2) in objects:
+        obj = ET.SubElement(root, "object")
+        ET.SubElement(obj, "name").text = name
+        ET.SubElement(obj, "pose").text = "Unspecified"
+        ET.SubElement(obj, "truncated").text = "0"
+        ET.SubElement(obj, "difficult").text = "0"
+        box = ET.SubElement(obj, "bndbox")
+        ET.SubElement(box, "xmin").text = str(int(x1))
+        ET.SubElement(box, "ymin").text = str(int(y1))
+        ET.SubElement(box, "xmax").text = str(int(x2))
+        ET.SubElement(box, "ymax").text = str(int(y2))
+    ET.ElementTree(root).write(path)
+
+
+def read_voc_xml(path: str):
+    """Inverse of `write_voc_xml`: returns (image_name, (w, h), objects)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    size = root.find("size")
+    dims = (int(size.find("width").text), int(size.find("height").text))
+    objects = []
+    for obj in root.findall("object"):
+        b = obj.find("bndbox")
+        objects.append(
+            (obj.find("name").text,
+             (float(b.find("xmin").text), float(b.find("ymin").text),
+              float(b.find("xmax").text), float(b.find("ymax").text)))
+        )
+    return root.findtext("filename"), dims, objects
+
+
+def write_createml_json(path: str, entries) -> None:
+    """CreateML annotation JSON.  ``entries``: [(image_name, [(label, (x1,y1,x2,y2)), ...]), ...]
+    (CreateML stores centre + size)."""
+    import json
+
+    payload = []
+    for image_name, objects in entries:
+        anns = []
+        for label, (x1, y1, x2, y2) in objects:
+            anns.append({
+                "label": label,
+                "coordinates": {
+                    "x": (x1 + x2) / 2, "y": (y1 + y2) / 2,
+                    "width": x2 - x1, "height": y2 - y1,
+                },
+            })
+        payload.append({"image": image_name, "annotations": anns})
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+
+
+def write_yolo_txt(path: str, img_size, objects, class_names) -> None:
+    """YOLO txt: ``class cx cy w h`` normalised.  ``objects`` as in VOC writer."""
+    w, h = img_size
+    with open(path, "w") as f:
+        for name, (x1, y1, x2, y2) in objects:
+            cls = class_names.index(name)
+            f.write(object_row(cls, ((x1 + x2) / 2 / w, (y1 + y2) / 2 / h,
+                                     (x2 - x1) / w, (y2 - y1) / h)) + "\n")
+
+
 # --- label writers (three formats at once, `labels_segmentation.py:61-139`) --
 
 def polygon_row(cls: int, points_norm) -> str:

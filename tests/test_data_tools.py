@@ -59,6 +59,59 @@ def test_label_writers(tmp_path):
     np.testing.assert_allclose([float(v) for v in obj[1:]], [cx, cy, w, h], atol=1e-6)
 
 
+def test_labelimg_formats(tmp_path):
+    from icp_slam_yolo_tpu.data.labels import (
+        read_voc_xml,
+        write_createml_json,
+        write_voc_xml,
+        write_yolo_txt,
+    )
+
+    objects = [("pallet", (10.0, 20.0, 110.0, 70.0)), ("box", (200.0, 50.0, 260.0, 120.0))]
+    xml = tmp_path / "img1.xml"
+    write_voc_xml(str(xml), "img1.jpg", (640, 480), objects)
+    name, dims, back = read_voc_xml(str(xml))
+    assert name == "img1.jpg" and dims == (640, 480)
+    assert back[0][0] == "pallet" and back[0][1] == (10.0, 20.0, 110.0, 70.0)
+
+    import json
+
+    cjson = tmp_path / "anns.json"
+    write_createml_json(str(cjson), [("img1.jpg", objects)])
+    data = json.loads(cjson.read_text())
+    ann = data[0]["annotations"][0]
+    assert ann["coordinates"] == {"x": 60.0, "y": 45.0, "width": 100.0, "height": 50.0}
+
+    txt = tmp_path / "img1.txt"
+    write_yolo_txt(str(txt), (640, 480), objects, ["pallet", "box"])
+    rows = txt.read_text().strip().split("\n")
+    assert rows[0].startswith("0 ") and rows[1].startswith("1 ")
+    vals = [float(v) for v in rows[0].split()[1:]]
+    assert abs(vals[0] - 60 / 640) < 1e-6 and abs(vals[2] - 100 / 640) < 1e-6
+
+
+def test_cli_register(tmp_path, capsys):
+    import numpy as np
+
+    from icp_slam_yolo_tpu.cli import main
+
+    rng = np.random.default_rng(0)
+    ang = rng.uniform(0, 130, 200)
+    tgt = np.stack([np.full(200, 40.0), ang, 3000 + 300 * np.sin(np.deg2rad(ang) * 5)], axis=1)
+    src = tgt.copy()
+    src[:, 2] += 20.0  # radially shifted copy
+    np.save(tmp_path / "a.npy", tgt)
+    np.save(tmp_path / "b.npy", src)
+    main(["register", str(tmp_path / "b.npy"), str(tmp_path / "a.npy"),
+          "--output", str(tmp_path / "ov.png")])
+    out = capsys.readouterr().out
+    import json
+
+    res = json.loads(out.strip().split("\n")[0])
+    assert res["rmse_mm"] < 50
+    assert (tmp_path / "ov.png").exists()
+
+
 def test_csv_tables(tmp_path):
     t = comma_table(str(tmp_path / "a.csv"), header=["name", "x", "y"])
     t.append(["p1", "1", "2"])
