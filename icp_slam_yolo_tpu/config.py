@@ -32,6 +32,7 @@ class GateConfig:
     front_arc_only: bool = True
     front_arc_lo_deg: float = 135.0
     front_arc_hi_deg: float = 225.0
+    y_sign: float = -1.0  # `process.py:49` uses y = -d sin(a); `b.py:176` uses +
 
 
 # Realtime gates (`process.py:44-46`): 1000 < d < 9000, q > 10.
@@ -165,6 +166,20 @@ REALTIME_CONFIG = SlamConfig(
     use_duplicate_filter=True,      # `mainn.py:320`
     realtime_semantics=True,
 )
+
+# Per-script realtime variants (the reference tunes constants per file,
+# SURVEY.md section 2.3): presets capture each script's gates and map geometry.
+REALTIME_B_CONFIG = REALTIME_CONFIG.replace(
+    # `duc/code python/b.py:164-179`: q > 5, y = +d sin(a); 20 m map @ 20 mm
+    gate=GateConfig(min_dist_mm=1000.0, max_dist_mm=9000.0, min_quality=5.0, y_sign=1.0),
+    map=MapConfig(width_mm=20000.0, height_mm=20000.0, resolution_mm_per_px=20.0),
+)
+REALTIME_1_CONFIG = REALTIME_CONFIG.replace(
+    # `realtime_1.py:157-169`: no front-arc filter, d < 5000; 5 m map @ 5 mm
+    gate=GateConfig(min_dist_mm=0.0, max_dist_mm=5000.0, min_quality=10.0, front_arc_only=False),
+    map=MapConfig(width_mm=5000.0, height_mm=5000.0, resolution_mm_per_px=5.0),
+)
+REALTIME_2_CONFIG = REALTIME_CONFIG  # `realtime_2.py` uses the 30 m @ 30 mm geometry
 
 # Stereo camera intrinsics (reference `Config.py:27-30`).
 STEREO_F = 381.0

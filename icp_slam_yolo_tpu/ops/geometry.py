@@ -43,7 +43,7 @@ def polar_to_cartesian(scan: jnp.ndarray, gate: GateConfig):
 
     rad = jnp.deg2rad(angle)
     x = dist * jnp.cos(rad)
-    y = -dist * jnp.sin(rad)
+    y = gate.y_sign * dist * jnp.sin(rad)
     xy = jnp.stack([x, y], axis=-1).astype(jnp.float32)
     xy = jnp.where(valid[:, None], xy, 0.0)
     return xy, valid

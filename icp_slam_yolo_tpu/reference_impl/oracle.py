@@ -35,7 +35,8 @@ def polar_gate(scan: np.ndarray, gate) -> np.ndarray:
     if gate.front_arc_only:
         keep &= (a <= gate.front_arc_lo_deg) | (a >= gate.front_arc_hi_deg)
     rad = np.deg2rad(a[keep])
-    return np.stack([d[keep] * np.cos(rad), -d[keep] * np.sin(rad)], axis=1)
+    y_sign = getattr(gate, "y_sign", -1.0)
+    return np.stack([d[keep] * np.cos(rad), y_sign * d[keep] * np.sin(rad)], axis=1)
 
 
 def se2_apply(pose: np.ndarray, xy: np.ndarray) -> np.ndarray:

@@ -42,6 +42,22 @@ def test_polar_convention():
     np.testing.assert_allclose(np.asarray(xy[0]), [0.0, -2000.0], atol=1e-2)
 
 
+def test_realtime_variant_presets():
+    from icp_slam_yolo_tpu.config import REALTIME_1_CONFIG, REALTIME_B_CONFIG
+
+    # b.py variant: +sin convention, permissive quality gate
+    scan = jnp.asarray([[6.0, 90.0, 2000.0]])
+    xy, valid = geo.polar_to_cartesian(scan, REALTIME_B_CONFIG.gate)
+    assert bool(valid[0])  # q=6 passes the q>5 gate
+    np.testing.assert_allclose(np.asarray(xy[0]), [0.0, 2000.0], atol=1e-2)  # +sin
+    assert REALTIME_B_CONFIG.map.width_px == 1000  # 20 m @ 20 mm
+
+    # realtime_1 variant: rear points pass (no arc filter), d<5000 gate
+    scan = jnp.asarray([[20.0, 180.0, 2000.0], [20.0, 0.0, 6000.0]])
+    _, valid = geo.polar_to_cartesian(scan, REALTIME_1_CONFIG.gate)
+    assert list(np.asarray(valid)) == [True, False]
+
+
 def test_se2_roundtrip(rng):
     pose = jnp.asarray([123.0, -456.0, 0.7], jnp.float32)
     pts = jnp.asarray(rng.normal(size=(50, 2)) * 1000, jnp.float32)
