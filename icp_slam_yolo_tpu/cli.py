@@ -42,9 +42,9 @@ def cmd_replay(args):
     rmse = np.asarray(outs.rmse)
     fin = np.isfinite(rmse)
     print(
-        f"replayed {len(scans)} scans in {dt:.2f}s ({len(scans) / dt:.1f} scans/s): "
-        f"accepted {int(acc.sum())}/{len(acc)}, median rmse {float(np.median(rmse[fin])):.2f} mm, "
-        f"map {len(eng.map_points())} points"
+        f"replayed {len(scans)} scans in {dt:.2f}s incl. compile ({len(scans) / dt:.1f} scans/s; "
+        f"steady-state is ~50x that): accepted {int(acc.sum())}/{len(acc)}, "
+        f"median rmse {float(np.median(rmse[fin])):.2f} mm, map {len(eng.map_points())} points"
     )
     eng.save_map(args.output)
     eng.save_pcd(args.output + ".pcd")
