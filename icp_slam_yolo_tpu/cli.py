@@ -99,7 +99,7 @@ def cmd_bench(args):
 
 def cmd_train(args):
     from icp_slam_yolo_tpu.io.yolo_data import DeviceYoloDataset
-    from icp_slam_yolo_tpu.models.train import create_train_state, fit
+    from icp_slam_yolo_tpu.models.train import fit
     from icp_slam_yolo_tpu.models.yolo import YOLO
 
     ds = DeviceYoloDataset(args.data, img_size=args.img_size, batch_size=args.batch_size,
@@ -180,7 +180,6 @@ def cmd_register(args):
 def cmd_comm_hub(args):
     """Run the robot-side comm hub (the ESP_AP role): broadcast stdin lines as
     telemetry, print inbound command lines, echo handshakes."""
-    import threading
     import time as _time
 
     from icp_slam_yolo_tpu.native.robotlink import RobotLinkServer

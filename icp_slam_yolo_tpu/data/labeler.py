@@ -259,7 +259,6 @@ class LabelSession:
         """Convert painted regions to polygons (findContours step of the
         reference's paint labelers).  Returns polygons added."""
         from icp_slam_yolo_tpu.models.segment import mask_to_polygon
-        from icp_slam_yolo_tpu.utils.images import hsv_edge_boxes  # noqa: F401 (region split below)
 
         m = self._mask
         # split into connected regions via the flood-fill labeler

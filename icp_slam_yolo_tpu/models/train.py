@@ -10,7 +10,6 @@ for a 3M-parameter detector (SURVEY.md section 2.6).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import numpy as np
