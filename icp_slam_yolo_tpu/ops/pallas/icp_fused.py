@@ -34,25 +34,33 @@ def _nn_pass(px, py, tgt_t_ref, valid_t_ref, col, tile_t, n_tiles, t):
     s = px.shape[0]
 
     def tbody(k, carry):
-        run_min, mx, my = carry
-        tx = tgt_t_ref[0:1, pl.ds(k * tile_t, tile_t)]
-        ty = tgt_t_ref[1:2, pl.ds(k * tile_t, tile_t)]
         tv = valid_t_ref[0:1, pl.ds(k * tile_t, tile_t)]
-        dx = px - tx
-        dy = py - ty
-        d2 = dx * dx + dy * dy
-        d2 = jnp.where(tv > 0, d2, _BIG)
-        tmin = jnp.min(d2, axis=1, keepdims=True)
-        arg = jnp.min(jnp.where(d2 <= tmin, col, t), axis=1, keepdims=True)
-        sel = col == arg  # exactly one column per row (first minimum)
-        tmx = jnp.sum(jnp.where(sel, tx, 0.0), axis=1, keepdims=True)
-        tmy = jnp.sum(jnp.where(sel, ty, 0.0), axis=1, keepdims=True)
-        better = tmin < run_min
-        return (
-            jnp.where(better, tmin, run_min),
-            jnp.where(better, tmx, mx),
-            jnp.where(better, tmy, my),
-        )
+
+        def live(carry):
+            run_min, mx, my = carry
+            tx = tgt_t_ref[0:1, pl.ds(k * tile_t, tile_t)]
+            ty = tgt_t_ref[1:2, pl.ds(k * tile_t, tile_t)]
+            dx = px - tx
+            dy = py - ty
+            d2 = dx * dx + dy * dy
+            d2 = jnp.where(tv > 0, d2, _BIG)
+            tmin = jnp.min(d2, axis=1, keepdims=True)
+            arg = jnp.min(jnp.where(d2 <= tmin, col, t), axis=1, keepdims=True)
+            sel = col == arg  # exactly one column per row (first minimum)
+            tmx = jnp.sum(jnp.where(sel, tx, 0.0), axis=1, keepdims=True)
+            tmy = jnp.sum(jnp.where(sel, ty, 0.0), axis=1, keepdims=True)
+            better = tmin < run_min
+            return (
+                jnp.where(better, tmin, run_min),
+                jnp.where(better, tmx, mx),
+                jnp.where(better, tmy, my),
+            )
+
+        # `compact` packs valid map points to the front of the buffer, so the
+        # tail tiles are usually entirely invalid — one cheap (1, T) reduce
+        # skips the whole (S, T) sweep for them (no-op either way: invalid
+        # distances are BIG and never win the running min)
+        return jax.lax.cond(jnp.max(tv) > 0, live, lambda c: c, carry)
 
     init = (
         jnp.full((s, 1), jnp.float32(_BIG)),
