@@ -20,6 +20,8 @@ Flask dependency (stdlib ``ThreadingHTTPServer``):
   GET  /capture_map           one-shot capture flag (`mainn.py:696-700`)
   POST /toggle_visibility     {map, icp} booleans (`mainn.py:646-652`)
   GET  /load_map/<file>       load PNG/PCD, switch to localization (`mainn.py:679`)
+  GET  /resume_mapping        leave localization mode (reference's update_mode=1
+                              intent, which `mainn.py` set but never read)
   POST /load_map_for_imshow   {filename} display a saved map (`mainn.py:404-431`)
   GET  /get_map_points/<base> saved npy pixel points as JSON (`mainn.py:524-540`)
   GET  /get_map_image/<file>  saved PNG bytes (`mainn.py:542-562`)
@@ -31,7 +33,7 @@ import json
 import os
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 import numpy as np
 
@@ -40,66 +42,188 @@ from icp_slam_yolo_tpu.serve.state import ServerState
 _INDEX_HTML = """<!doctype html>
 <html><head><meta charset="utf-8"><title>tpu-slam control panel</title>
 <style>
- body{font-family:system-ui;margin:1rem;background:#111;color:#eee}
- canvas{border:1px solid #444;background:#222}
- button{margin:.2rem;padding:.4rem .8rem}
- #stats{margin:.5rem 0;font-family:monospace}
+ body{font-family:system-ui;margin:0;background:#111;color:#eee;display:flex;height:100vh}
+ #side{width:300px;min-width:300px;overflow-y:auto;padding:.8rem;background:#181818;border-right:1px solid #333}
+ #main{flex:1;padding:.8rem;overflow:hidden}
+ canvas{border:1px solid #444;background:#222;cursor:grab;touch-action:none}
+ button{margin:.15rem;padding:.3rem .6rem;background:#2a2a2a;color:#eee;border:1px solid #555;border-radius:4px;cursor:pointer}
+ button:hover{background:#3a3a3a}
+ button.active{background:#264;border-color:#4a6}
+ #stats{margin:.4rem 0;font-family:monospace;font-size:.85rem}
+ h3{margin:.8rem 0 .3rem;font-size:.9rem;color:#9ab;text-transform:uppercase;letter-spacing:.05em}
+ .poi,.mapfile{display:flex;align-items:center;gap:.3rem;padding:.15rem 0;font-size:.85rem}
+ .poi.target{color:#fd6}
+ .mapfile img{width:56px;height:46px;object-fit:cover;border:1px solid #444}
+ .mapfile span{flex:1;overflow:hidden;text-overflow:ellipsis;white-space:nowrap}
+ label{font-size:.85rem;margin-right:.6rem}
+ #mode{font-family:monospace;color:#6c6}
 </style></head>
 <body>
-<h2>tpu-slam</h2>
-<div id="stats">pose: &mdash; | distance: &mdash; | rmse: &mdash;</div>
-<div>
+<div id="side">
+ <h2 style="margin:.2rem 0">tpu-slam</h2>
+ <div id="mode">mapping</div>
+ <h3>stream</h3>
  <button onclick="fetch('/stop_stream')">pause</button>
  <button onclick="fetch('/resume_stream')">resume</button>
- <button onclick="fetch('/add_point',{method:'POST'})">add POI</button>
- <button onclick="saveMap()">save map</button>
  <button onclick="fetch('/save_frame')">save frame</button>
+ <button onclick="fetch('/capture_map')">capture</button>
+ <h3>layers</h3>
+ <label><input type="checkbox" id="showMap" checked onchange="toggles()"> map</label>
+ <label><input type="checkbox" id="showIcp" checked onchange="toggles()"> icp view</label>
+ <label><input type="checkbox" id="showSaved" onchange="draw()"> saved overlay</label>
+ <h3>points of interest</h3>
+ <button onclick="addPoi()">add POI at robot</button>
+ <button onclick="setTarget(null)">clear target</button>
+ <div id="pois"></div>
+ <h3>saved maps</h3>
+ <button onclick="saveMap()">save map</button>
+ <button onclick="refreshFiles()">refresh list</button>
+ <button onclick="fetch('/resume_mapping').then(()=>{mode('mapping')})">resume mapping</button>
+ <div id="files"></div>
 </div>
-<canvas id="map" width="1000" height="833"></canvas>
-<img id="icp" width="300" height="300" style="vertical-align:top;border:1px solid #444" title="ICP debug view">
+<div id="main">
+ <div id="stats">pose: &mdash; | distance: &mdash; | rmse: &mdash;</div>
+ <canvas id="map" width="1000" height="700"></canvas>
+ <img id="icp" width="280" height="280" style="vertical-align:top;border:1px solid #444" title="ICP debug view">
+</div>
 <script>
-const ctx = document.getElementById('map').getContext('2d');
-let pois = [], landmarks = [];
-async function refreshPois(){
-  const r = await fetch('/get_points_of_interest');
-  pois = (await r.json()).points;
+const canvas = document.getElementById('map'), ctx = canvas.getContext('2d');
+let pois = [], landmarks = [], activeTarget = null, live = {}, savedPts = [];
+let view = {s: 1, x: 0, y: 0};           // pan/zoom: map px -> screen
+const bg = new Image(); let bgOk = false;
+bg.onload = () => { bgOk = true; draw(); };
+
+// --- pan (drag) + zoom (wheel, anchored at the cursor) -----------------
+let drag = null;
+canvas.addEventListener('pointerdown', e => { drag = {x: e.offsetX, y: e.offsetY}; canvas.setPointerCapture(e.pointerId); });
+canvas.addEventListener('pointermove', e => {
+  if (!drag) return;
+  view.x += e.offsetX - drag.x; view.y += e.offsetY - drag.y;
+  drag = {x: e.offsetX, y: e.offsetY}; draw();
+});
+canvas.addEventListener('pointerup', () => { drag = null; });
+canvas.addEventListener('wheel', e => {
+  e.preventDefault();
+  const f = e.deltaY < 0 ? 1.15 : 1/1.15, s2 = Math.min(20, Math.max(.2, view.s * f));
+  view.x = e.offsetX - (e.offsetX - view.x) * (s2 / view.s);
+  view.y = e.offsetY - (e.offsetY - view.y) * (s2 / view.s);
+  view.s = s2; draw();
+}, {passive: false});
+
+function draw(){
+  ctx.setTransform(1, 0, 0, 1, 0, 0);
+  ctx.fillStyle = '#222'; ctx.fillRect(0, 0, canvas.width, canvas.height);
+  ctx.setTransform(view.s, 0, 0, view.s, view.x, view.y);
+  if (bgOk && document.getElementById('showMap').checked) ctx.drawImage(bg, 0, 0);
+  if (document.getElementById('showSaved').checked && savedPts.length){
+    ctx.fillStyle = '#579';
+    for (const [x, y] of savedPts) ctx.fillRect(x, y, 1.5, 1.5);
+  }
+  if (live.points){
+    ctx.fillStyle = '#4f4';
+    for (const [x, y] of live.points) ctx.fillRect(x, y, 2, 2);
+  }
+  if (live.pose){
+    ctx.fillStyle = '#48f';
+    ctx.beginPath(); ctx.arc(live.pose.x, live.pose.y, 5/view.s, 0, 7); ctx.fill();
+    ctx.strokeStyle = '#f44'; ctx.lineWidth = 2/view.s; ctx.beginPath();
+    ctx.moveTo(live.pose.x, live.pose.y); ctx.lineTo(live.pose.ex, live.pose.ey); ctx.stroke();
+  }
+  ctx.font = `${12/view.s}px monospace`;
+  for (const p of pois){
+    ctx.fillStyle = (activeTarget === p.id) ? '#fd6' : '#ff0';
+    ctx.beginPath(); ctx.arc(p.pos_px[0], p.pos_px[1], 5/view.s, 0, 7); ctx.fill();
+    ctx.fillText(p.name, p.pos_px[0] + 7/view.s, p.pos_px[1]);
+  }
+  ctx.fillStyle = '#f0f';  // fused pallet landmarks
+  for (const lm of landmarks){
+    ctx.fillRect(lm.px - 4/view.s, lm.py - 4/view.s, 8/view.s, 8/view.s);
+    ctx.fillText('pallet x' + lm.n_obs, lm.px + 6/view.s, lm.py);
+  }
 }
-refreshPois();
-setInterval(async () => {
-  document.getElementById('icp').src = '/icp_image?t=' + Date.now();
-  landmarks = (await (await fetch('/landmarks')).json()).landmarks;
-}, 2000);
+
+// --- POIs + target -------------------------------------------------------
+async function refreshPois(){
+  pois = (await (await fetch('/get_points_of_interest')).json()).points;
+  const el = document.getElementById('pois');
+  el.innerHTML = '';
+  for (const p of pois){
+    const row = document.createElement('div');
+    row.className = 'poi' + (activeTarget === p.id ? ' target' : '');
+    row.innerHTML = `<span>${p.name} (${p.pos_px[0]},${p.pos_px[1]})</span>`;
+    const b = document.createElement('button');
+    b.textContent = activeTarget === p.id ? 'targeted' : 'set target';
+    if (activeTarget === p.id) b.className = 'active';
+    b.onclick = () => setTarget(p.id);
+    row.appendChild(b); el.appendChild(row);
+  }
+  draw();
+}
+async function addPoi(){ await fetch('/add_point', {method: 'POST'}); refreshPois(); }
+async function setTarget(id){
+  await fetch('/set_active_target', {method: 'POST',
+    headers: {'Content-Type': 'application/json'}, body: JSON.stringify({id})});
+  activeTarget = id; refreshPois();
+}
+
+// --- saved-map gallery ---------------------------------------------------
+async function refreshFiles(){
+  const files = (await (await fetch('/list_saved_files')).json()).files;
+  const el = document.getElementById('files');
+  el.innerHTML = '';
+  for (const f of files){
+    const row = document.createElement('div');
+    row.className = 'mapfile';
+    const img = document.createElement('img');
+    img.src = '/get_map_image/' + encodeURIComponent(f);
+    const name = document.createElement('span'); name.textContent = f;
+    const view_ = document.createElement('button'); view_.textContent = 'view';
+    view_.onclick = async () => {
+      await fetch('/load_map_for_imshow', {method: 'POST',
+        headers: {'Content-Type': 'application/json'}, body: JSON.stringify({filename: f})});
+      const base = f.replace(/\\.[^.]*$/, '');
+      savedPts = (await (await fetch('/get_map_points/' + encodeURIComponent(base))).json()).points;
+      document.getElementById('showSaved').checked = true; draw();
+    };
+    const load = document.createElement('button'); load.textContent = 'localize';
+    load.onclick = async () => {
+      const r = await (await fetch('/load_map/' + encodeURIComponent(f))).json();
+      mode('localization'); alert(r.message);
+    };
+    row.append(img, name, view_, load); el.appendChild(row);
+  }
+}
 function saveMap(){
   const name = prompt('filename base', 'map_1');
-  if(name) fetch('/save_map?filename=' + encodeURIComponent(name));
+  if (name) fetch('/save_map?filename=' + encodeURIComponent(name)).then(refreshFiles);
 }
+function mode(m){ document.getElementById('mode').textContent = m; }
+function toggles(){
+  const m = document.getElementById('showMap').checked, i = document.getElementById('showIcp').checked;
+  fetch('/toggle_visibility', {method: 'POST',
+    headers: {'Content-Type': 'application/json'}, body: JSON.stringify({map: m, icp: i})});
+  document.getElementById('icp').style.display = i ? '' : 'none';
+  draw();
+}
+
+refreshPois(); refreshFiles();
+setInterval(async () => {
+  if (document.getElementById('showIcp').checked)
+    document.getElementById('icp').src = '/icp_image?t=' + Date.now();
+  if (document.getElementById('showMap').checked) bg.src = '/map_image?t=' + Date.now();
+  landmarks = (await (await fetch('/landmarks')).json()).landmarks;
+}, 2000);
+
 const es = new EventSource('/points_stream');
 es.onmessage = (ev) => {
   const d = JSON.parse(ev.data);
-  ctx.fillStyle = '#222'; ctx.fillRect(0, 0, 1000, 833);
-  if (d.points){
-    ctx.fillStyle = '#4f4';
-    for (const [x, y] of d.points) ctx.fillRect(x, y, 2, 2);
-  }
+  live = d;
   if (d.pose){
-    ctx.fillStyle = '#48f';
-    ctx.beginPath(); ctx.arc(d.pose.x, d.pose.y, 5, 0, 7); ctx.fill();
-    ctx.strokeStyle = '#f44'; ctx.beginPath();
-    ctx.moveTo(d.pose.x, d.pose.y); ctx.lineTo(d.pose.ex, d.pose.ey); ctx.stroke();
-    document.getElementById('stats').textContent =
-      `pose: ${d.pose.x},${d.pose.y} | distance: ${d.distance ?? '—'} | rmse: ${d.rmse ?? '—'}`;
+    let s = `pose: ${d.pose.x},${d.pose.y} | distance: ${d.distance ?? '—'} | rmse: ${d.rmse ?? '—'}`;
+    if (d.camera_data) s += ` | pallet: ${d.camera_data.distance_mm}mm yaw ${d.camera_data.yaw_deg}°`;
+    document.getElementById('stats').textContent = s;
   }
-  ctx.fillStyle = '#ff0';
-  for (const p of pois){ ctx.beginPath(); ctx.arc(p.pos_px[0], p.pos_px[1], 5, 0, 7); ctx.fill(); }
-  ctx.fillStyle = '#f0f';  // fused pallet landmarks
-  for (const lm of landmarks){
-    ctx.fillRect(lm.px - 4, lm.py - 4, 8, 8);
-    ctx.fillText('pallet x' + lm.n_obs, lm.px + 6, lm.py);
-  }
-  if (d.camera_data){
-    document.getElementById('stats').textContent +=
-      ` | pallet: ${d.camera_data.distance_mm}mm yaw ${d.camera_data.yaw_deg}°`;
-  }
+  draw();
 };
 </script></body></html>
 """
@@ -134,6 +258,17 @@ def make_handler(state: ServerState):
                 return {}
             return json.loads(self.rfile.read(length) or b"{}")
 
+        def _safe_path(self, name: str) -> str | None:
+            """Resolve a client-supplied filename under the work dir, or
+            ``None`` when it escapes it.  Raw handlers pass ``../`` through,
+            so every file route must containment-check before touching disk
+            (the server is unauthenticated and binds 0.0.0.0)."""
+            root = os.path.realpath(state.work_dir)
+            fp = os.path.realpath(os.path.join(root, unquote(name)))
+            if fp != root and not fp.startswith(root + os.sep):
+                return None
+            return fp
+
         # --- GET ------------------------------------------------------------
         def do_GET(self):
             url = urlparse(self.path)
@@ -154,7 +289,9 @@ def make_handler(state: ServerState):
                 name = (q.get("filename") or [None])[0]
                 if not name:
                     return self._json({"status": "error", "message": "filename required"}, 400)
-                base = os.path.splitext(name)[0]
+                base = os.path.splitext(unquote(name))[0]
+                if base != os.path.basename(base) or self._safe_path(base) is None:
+                    return self._json({"status": "error", "message": "invalid filename"}, 400)
                 state.save_map(base)
                 self._json({"status": "success", "message": f"map saved as '{base}'"})
             elif path == "/list_saved_files":
@@ -181,19 +318,24 @@ def make_handler(state: ServerState):
                 state.capture_requested = True
                 self._json({"message": "capturing map image..."})
             elif path.startswith("/load_map/"):
-                fname = path[len("/load_map/"):]
-                fp = os.path.join(state.work_dir, fname)
-                if not os.path.exists(fp):
+                fname = unquote(path[len("/load_map/"):])
+                fp = self._safe_path(fname)
+                if fp is None or not os.path.exists(fp):
                     return self._json({"message": f"File {fname} not found"}, 404)
                 try:
                     state.load_map(fp)
                 except ValueError:
                     return self._json({"message": "unsupported file format"}, 400)
                 self._json({"message": f"loaded map {fname}; switched to localization mode"})
+            elif path == "/resume_mapping":
+                state.resume_mapping()
+                self._json({"status": "success", "message": "mapping mode resumed"})
             elif path.startswith("/get_map_points/"):
-                base = path[len("/get_map_points/"):]
-                npy = os.path.join(state.work_dir, base + ".npy")
+                base = unquote(path[len("/get_map_points/"):])
+                npy = self._safe_path(base + ".npy")
                 try:
+                    if npy is None:
+                        raise FileNotFoundError(base)
                     pts = np.load(npy).tolist()
                     if pts:
                         pts = pts[:-1]  # parity quirk: reference drops the last row (`mainn.py:533`)
@@ -201,9 +343,9 @@ def make_handler(state: ServerState):
                 except FileNotFoundError:
                     self._json({"points": []})
             elif path.startswith("/get_map_image/"):
-                fname = path[len("/get_map_image/"):]
-                fp = os.path.join(state.work_dir, fname)
-                if not os.path.exists(fp):
+                fname = unquote(path[len("/get_map_image/"):])
+                fp = self._safe_path(fname)
+                if fp is None or not os.path.exists(fp):
                     return self._bytes(b"File not found", "text/plain", 404)
                 with open(fp, "rb") as f:
                     self._bytes(f.read(), "image/png")
@@ -238,7 +380,8 @@ def make_handler(state: ServerState):
             elif path == "/load_map_for_imshow":
                 data = self._body_json()
                 fname = data.get("filename")
-                if not fname or not os.path.exists(os.path.join(state.work_dir, fname)):
+                fp = self._safe_path(fname) if fname else None
+                if fp is None or not os.path.exists(fp):
                     return self._json({"status": "error", "message": "file does not exist"}, 404)
                 self._json({"status": "success", "message": f"displaying map {fname}"})
             else:

@@ -254,31 +254,74 @@ class ServerState:
         Image.fromarray(img).save(buf, format="PNG")
         return buf.getvalue()
 
+    def _blank_state(self):
+        """A SlamState with an empty map at the identity pose, for loading a
+        saved map before any scan has been fed."""
+        import jax.numpy as jnp
+
+        from icp_slam_yolo_tpu.slam import pipeline as pl
+
+        cfg = self.cfg
+        return pl.SlamState(
+            pose=jnp.zeros(3, jnp.float32),
+            map_xy=jnp.zeros((cfg.map_capacity, 2), jnp.float32),
+            map_valid=jnp.zeros(cfg.map_capacity, bool),
+            occ=jnp.full((cfg.map.height_px, cfg.map.width_px), 0.5, jnp.float32),
+            prev_xy=jnp.zeros((cfg.n_max, 2), jnp.float32),
+            prev_valid=jnp.zeros(cfg.n_max, bool),
+            step=jnp.int32(0),
+            maint_count=jnp.int32(0),
+        )
+
+    def _fill_map_points(self, pts_xy: np.ndarray) -> None:
+        import jax.numpy as jnp
+
+        cap = self.cfg.map_capacity
+        xy = np.zeros((cap, 2), np.float32)
+        n = min(len(pts_xy), cap)
+        xy[:n] = pts_xy[:n, :2]
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        self.engine.state = self.engine.state._replace(
+            map_xy=jnp.asarray(xy), map_valid=jnp.asarray(valid)
+        )
+
     def load_map(self, filepath: str) -> None:
-        """Load a PNG occupancy or PCD point map and switch to localization
-        (`mainn.py:679-695`)."""
-        if filepath.lower().endswith((".png", ".jpg", ".jpeg")):
-            occ = maps_io.load_occupancy_png(filepath)
-            with self.lock:
-                if self.engine.state is not None:
-                    import jax.numpy as jnp
+        """Load a PNG occupancy or PCD point map and switch the engine's
+        compiled step to localization-only (`mainn.py:679-695` — where the
+        reference set ``update_mode=0`` but nothing read it; here the map is
+        genuinely frozen and ICP tracks the pose against it)."""
+        import jax.numpy as jnp
 
-                    self.engine.state = self.engine.state._replace(occ=jnp.asarray(occ, jnp.float32))
-        elif filepath.lower().endswith(".pcd"):
-            pts = maps_io.load_pcd(filepath)
-            with self.lock:
-                if self.engine.state is not None:
-                    import jax.numpy as jnp
+        with self.lock:
+            if self.engine.state is None:
+                self.engine.state = self._blank_state()
+            if filepath.lower().endswith((".png", ".jpg", ".jpeg")):
+                occ = maps_io.load_occupancy_png(filepath)
+                if occ.shape != (self.cfg.map.height_px, self.cfg.map.width_px):
+                    raise ValueError("map image size does not match the configured grid")
+                self.engine.state = self.engine.state._replace(occ=jnp.asarray(occ, jnp.float32))
+                # ICP needs a point map: prefer the sibling .npy point dump
+                # (save_map always writes the PNG + npy pair, like the
+                # reference's ban_do_3.{png,npy}); fall back to occupied
+                # cells -> world-mm cell corners.
+                npy = os.path.splitext(filepath)[0] + ".npy"
+                if os.path.exists(npy):
+                    pts = maps_io.load_map_points_npy(npy, self.cfg.map)
+                else:
+                    py, px = np.nonzero(occ > self.cfg.occupancy.block_threshold)
+                    pts = maps_io.pixels_to_points(np.stack([px, py], axis=1), self.cfg.map)
+                self._fill_map_points(pts.astype(np.float32))
+            elif filepath.lower().endswith(".pcd"):
+                self._fill_map_points(maps_io.load_pcd(filepath))
+            else:
+                raise ValueError("unsupported map format")
+            self.engine.set_localization(True)
+            self.update_mode = 0
 
-                    cap = self.cfg.map_capacity
-                    xy = np.zeros((cap, 2), np.float32)
-                    n = min(len(pts), cap)
-                    xy[:n] = pts[:n, :2]
-                    valid = np.zeros(cap, bool)
-                    valid[:n] = True
-                    self.engine.state = self.engine.state._replace(
-                        map_xy=jnp.asarray(xy), map_valid=jnp.asarray(valid)
-                    )
-        else:
-            raise ValueError("unsupported map format")
-        self.update_mode = 0
+    def resume_mapping(self) -> None:
+        """Leave localization mode: the engine's step goes back to inserting
+        scans into the (loaded or built) map."""
+        with self.lock:
+            self.engine.set_localization(False)
+            self.update_mode = 1

@@ -32,6 +32,16 @@ class Slam:
         self.trajectory = []
         self.rmse_history = []
 
+    def set_localization(self, enabled: bool) -> None:
+        """Switch the compiled step between mapping and localization-only
+        semantics (the reference's ``update_mode`` flag, `mainn.py:679-695`,
+        which its server set but never read).  Keeps the current state —
+        poses keep tracking against the now-frozen (or now-live) map."""
+        if self.cfg.localization_only == bool(enabled):
+            return
+        self.cfg = self.cfg.replace(localization_only=bool(enabled))
+        self._step = jax.jit(pipeline.make_step(self.cfg))
+
     def add_scan(self, scan: np.ndarray):
         """Feed one raw polar scan ``(N, 3)``; returns a `StepOutput`-like dict."""
         padded = jnp.asarray(scans_io.pad_scan(np.asarray(scan, np.float64), self.cfg.n_max))

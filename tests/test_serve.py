@@ -132,3 +132,115 @@ def test_save_frame_and_toggle(server, tmp_path):
     assert (tmp_path / fname).exists()
     status, out = _post(base + "/toggle_visibility", {"map": False})
     assert out["show_map"] is False
+
+
+def _raw_get(base, raw_path):
+    """GET with the path sent verbatim (urllib normalizes ../ away)."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(base)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=10)
+    conn.request("GET", raw_path)
+    r = conn.getresponse()
+    status, body = r.status, r.read()
+    conn.close()
+    return status, body
+
+
+def test_path_traversal_rejected(server, tmp_path):
+    """File routes must not escape the work dir (the server is
+    unauthenticated); ``../`` both raw and URL-encoded must 4xx."""
+    _, base = server
+    secret = tmp_path.parent / "secret.txt"
+    secret.write_text("leak")
+    for raw in (
+        "/get_map_image/../secret.txt",
+        "/get_map_image/%2e%2e/secret.txt",
+        "/load_map/../secret.txt",
+        "/save_map?filename=../evil",
+        "/save_map?filename=sub/evil",
+    ):
+        status, body = _raw_get(base, raw)
+        assert status in (400, 404), (raw, status)
+        assert b"leak" not in body
+    # npy route answers escapes with the safe empty list, never file data
+    np.save(tmp_path.parent / "secret.npy", np.ones((3, 2), np.int32))
+    status, body = _raw_get(base, "/get_map_points/../secret")
+    assert status == 200 and json.loads(body)["points"] == []
+    assert not (tmp_path.parent / "evil.png").exists()
+    assert not (tmp_path / "sub").exists()
+
+
+LOC_CFG = SlamConfig(
+    map=MapConfig(width_mm=12000.0, height_mm=12000.0),
+    icp=IcpConfig(max_iterations=10),
+    occupancy=OccupancyConfig(window_px=100, max_ray_px=120),
+    n_max=512,
+    map_capacity=4096,
+)
+
+
+@pytest.fixture()
+def loc_server(tmp_path, scan_sequence):
+    """Server with a registration-capable config (the tiny shared CFG
+    truncates scans to ~20 gated points, below the ICP floor)."""
+    state = ServerState(LOC_CFG, work_dir=str(tmp_path))
+    for s in scan_sequence[2:6]:  # scans 1-2 are lidar spin-up (10 gated points)
+        state.feed_scan(s)
+    srv = make_server(state, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield state, f"http://127.0.0.1:{port}"
+    state.stopped.set()
+    srv.shutdown()
+
+
+def test_load_map_switches_to_real_localization(loc_server, tmp_path, scan_sequence):
+    """`/load_map` must freeze the map (localization-only step) — the
+    reference set update_mode=0 but kept mapping (`mainn.py:679-695` dead
+    flag); here the loaded map must survive further scans while the pose
+    keeps tracking.  `/resume_mapping` re-enables insertion."""
+    state, base = loc_server
+    status, _ = _get(base + "/save_map?filename=locmap.png")
+    assert status == 200
+
+    status, body = _get(base + "/load_map/locmap.png")
+    assert status == 200
+    assert state.update_mode == 0 and state.engine.cfg.localization_only
+
+    occ_before = np.asarray(state.engine.state.occ).copy()
+    map_before = np.asarray(state.engine.state.map_xy).copy()
+    valid_before = np.asarray(state.engine.state.map_valid).copy()
+    outs = [state.feed_scan(s) for s in scan_sequence[6:10]]
+    assert any(o["accepted"] for o in outs)  # scans register against the loaded map
+    assert np.array_equal(occ_before, np.asarray(state.engine.state.occ))
+    assert np.array_equal(map_before, np.asarray(state.engine.state.map_xy))
+    assert np.array_equal(valid_before, np.asarray(state.engine.state.map_valid))
+    assert np.isfinite(state.engine.pose).all()
+
+    status, _ = _get(base + "/resume_mapping")
+    assert status == 200
+    assert state.update_mode == 1 and not state.engine.cfg.localization_only
+    outs = [state.feed_scan(s) for s in scan_sequence[10:14]]
+    assert any(o["accepted"] for o in outs)
+    assert not np.array_equal(occ_before, np.asarray(state.engine.state.occ))
+
+
+def test_load_pcd_map_before_any_scan(tmp_path, scan_sequence):
+    """Loading a PCD with a fresh engine (no scans fed) must build a usable
+    localization state rather than silently no-op."""
+    from icp_slam_yolo_tpu.io import maps as maps_io
+    from icp_slam_yolo_tpu.reference_impl.oracle import polar_gate
+
+    pts = polar_gate(np.asarray(scan_sequence[2], float), LOC_CFG.gate)
+    pcd = tmp_path / "seed.pcd"
+    maps_io.save_pcd(pts, str(pcd))
+
+    state = ServerState(LOC_CFG, work_dir=str(tmp_path))
+    state.load_map(str(pcd))
+    assert state.engine.cfg.localization_only
+    n_valid = int(np.asarray(state.engine.state.map_valid).sum())
+    assert n_valid == len(pts)
+    out = state.feed_scan(scan_sequence[3])
+    assert np.isfinite(out["rmse"])
