@@ -269,7 +269,7 @@ def main(argv=None):
     t.add_argument("--steps", type=int, default=None)
     t.add_argument("--num-classes", type=int, default=1)
     t.add_argument("--variant", default="n")
-    t.add_argument("--task", default="detect", choices=["detect", "obb"])
+    t.add_argument("--task", default="detect", choices=["detect", "obb", "segment"])
     t.add_argument("--max-gt", type=int, default=32)
     t.add_argument("--output", default=None)
     t.set_defaults(fn=cmd_train)

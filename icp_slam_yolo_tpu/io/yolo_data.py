@@ -97,22 +97,62 @@ def rasterize_polygon(poly_px: np.ndarray, size: int) -> np.ndarray:
     return np.asarray(img, np.float32)
 
 
+LETTERBOX_FILL = 114.0 / 255.0  # Ultralytics pad gray
+
+
+def letterbox_transform(w0: int, h0: int, size: int):
+    """Ultralytics letterbox mapping: uniform scale + centred pad.
+
+    Returns ``(scale, pad_x, pad_y)`` such that an original pixel ``(x, y)``
+    lands at ``(x*scale + pad_x, y*scale + pad_y)`` in the ``size x size``
+    model input.  Preserves aspect ratio — the stretch resize this replaces
+    distorted 640x480 frames by 33% (and OBB angles with them).
+    """
+    scale = min(size / w0, size / h0)
+    nw, nh = round(w0 * scale), round(h0 * scale)
+    return scale, (size - nw) / 2.0, (size - nh) / 2.0
+
+
+def letterbox_image(img: "Image.Image", size: int) -> np.ndarray:
+    """PIL image -> ``(size, size, 3) float32 [0,1]`` letterboxed array."""
+    w0, h0 = img.size
+    scale, px, py = letterbox_transform(w0, h0, size)
+    nw, nh = round(w0 * scale), round(h0 * scale)
+    resized = np.asarray(img.resize((nw, nh), Image.BILINEAR), np.float32) / 255.0
+    out = np.full((size, size, 3), LETTERBOX_FILL, np.float32)
+    x0, y0 = int(round(px)), int(round(py))
+    out[y0 : y0 + nh, x0 : x0 + nw] = resized[..., :3]
+    return out
+
+
+def map_polygon(poly_norm: np.ndarray, w0: int, h0: int, size: int) -> np.ndarray:
+    """Normalised label polygon -> letterboxed model-input pixels."""
+    scale, px, py = letterbox_transform(w0, h0, size)
+    pts = np.asarray(poly_norm, np.float64) * np.array([w0, h0])
+    return (pts * scale + np.array([px, py])).astype(np.float32)
+
+
 def load_example(img_path: str, lbl_path: str, img_size: int):
-    """Decode + nearest-resize one example; boxes to xyxy pixels at img_size."""
+    """Decode + letterbox one example; boxes to xyxy pixels at img_size.
+
+    Returns ``(image, classes, boxes, (scale, pad_x, pad_y, w0, h0))`` — the
+    transform unmaps model-space boxes back to original pixels and remaps
+    polygon labels (`map_polygon`).
+    """
     img = Image.open(img_path).convert("RGB")
     w0, h0 = img.size
-    img = img.resize((img_size, img_size), Image.BILINEAR)
-    arr = np.asarray(img, np.float32) / 255.0
+    scale, px, py = letterbox_transform(w0, h0, img_size)
+    arr = letterbox_image(img, img_size)
     classes, cxcywh = parse_label_file(lbl_path)
     if len(cxcywh):
         cx, cy, bw, bh = (cxcywh[:, 0], cxcywh[:, 1], cxcywh[:, 2], cxcywh[:, 3])
         boxes = np.stack(
-            [(cx - bw / 2) * img_size, (cy - bh / 2) * img_size,
-             (cx + bw / 2) * img_size, (cy + bh / 2) * img_size], axis=1
+            [(cx - bw / 2) * w0 * scale + px, (cy - bh / 2) * h0 * scale + py,
+             (cx + bw / 2) * w0 * scale + px, (cy + bh / 2) * h0 * scale + py], axis=1
         ).astype(np.float32)
     else:
         boxes = np.zeros((0, 4), np.float32)
-    return arr, classes, boxes
+    return arr, classes, boxes, (scale, px, py, w0, h0)
 
 
 class DeviceYoloDataset:
@@ -143,7 +183,7 @@ class DeviceYoloDataset:
         angles = np.zeros((n, m), np.float32)
         masks = np.zeros((n, m, sp, sp), np.float32) if task == "segment" else None
         for i, (ip, lp) in enumerate(pairs):
-            img, cls, bxs = load_example(ip, lp, s)
+            img, cls, bxs, (_, _, _, w0, h0) = load_example(ip, lp, s)
             images[i] = img
             k = min(len(cls), m)
             boxes[i, :k] = bxs[:k]
@@ -152,11 +192,12 @@ class DeviceYoloDataset:
             if task == "obb":
                 _, polys = parse_polygons(lp)
                 for j, poly in enumerate(polys[:m]):
-                    angles[i, j] = polygon_angle(poly)
+                    # angle in letterboxed (= original, scale is uniform) space
+                    angles[i, j] = polygon_angle(map_polygon(poly, w0, h0, s))
             elif task == "segment":
                 _, polys = parse_polygons(lp)
                 for j, poly in enumerate(polys[:m]):
-                    masks[i, j] = rasterize_polygon(poly * sp, sp)
+                    masks[i, j] = rasterize_polygon(map_polygon(poly, w0, h0, s) * (sp / s), sp)
         self.n = n
         self.img_size = s
         self.batch_size = batch_size
@@ -192,7 +233,15 @@ class DeviceYoloDataset:
                 "valid": data["valid"][idx],
             }
             if "angles" in data:
-                out["angles"] = data["angles"][idx]
+                ang = data["angles"][idx]
+                if augment:
+                    # horizontal mirror negates the orientation; wrap back
+                    # into the head's (-pi/4, 3pi/4) decode range (an OBB's
+                    # angle is pi-periodic)
+                    fa = -ang
+                    fa = jnp.where(fa <= -0.25 * jnp.pi, fa + jnp.pi, fa)
+                    ang = jnp.where(flips[:, None], fa, ang)
+                out["angles"] = ang
             if "masks" in data:
                 mk = data["masks"][idx]
                 if augment:
@@ -247,17 +296,21 @@ class YoloDataset:
         valid = np.zeros((b, m), bool)
         angles = np.zeros((b, m), np.float32) if self.task == "obb" else None
         for i, (ip, lp) in enumerate(pairs):
-            img, cls, bxs = load_example(ip, lp, s)
+            img, cls, bxs, (_, _, _, w0, h0) = load_example(ip, lp, s)
             if angles is not None:
                 _, polys = parse_polygons(lp)
                 for j, poly in enumerate(polys[:m]):
-                    angles[i, j] = polygon_angle(poly)
+                    angles[i, j] = polygon_angle(map_polygon(poly, w0, h0, s))
             if self.augment and self.rng.random() < 0.5:
                 img = img[:, ::-1]
                 if len(bxs):
                     x1 = s - bxs[:, 2]
                     x2 = s - bxs[:, 0]
                     bxs = np.stack([x1, bxs[:, 1], x2, bxs[:, 3]], axis=1)
+                if angles is not None:
+                    # mirrored orientation, wrapped to (-pi/4, 3pi/4)
+                    fa = -angles[i]
+                    angles[i] = np.where(fa <= -0.25 * np.pi, fa + np.pi, fa)
             images[i] = img
             k = min(len(cls), m)
             boxes[i, :k] = bxs[:k]

@@ -52,6 +52,9 @@ class Detector:
     def _predict_impl(self, params, batch_stats, images, conf_threshold, iou_threshold):
         variables = {"params": params, "batch_stats": batch_stats}
         outs = self.model.apply(variables, images, train=False)
+        protos = None
+        if self.task == "segment":
+            outs, protos = outs  # (head outputs, (B, Hp, Wp, P) mask bases)
         boxes, scores, extras = decode_predictions(outs, self.img_size)
 
         def one(b, s):
@@ -59,20 +62,32 @@ class Detector:
             return nms(b, conf, cls, conf_threshold, iou_threshold, self.max_detections)
 
         dets = jax.vmap(one)(boxes, scores)
-        return dets, extras
+        return dets, extras, protos
 
-    def preprocess(self, frame: np.ndarray) -> np.ndarray:
-        """HWC uint8/float BGR-or-RGB frame -> ``(1, S, S, 3)`` float32 [0, 1].
-        Nearest resize (geometry handled by scale factors returned alongside)."""
+    def preprocess(self, frame: np.ndarray):
+        """HWC uint8/float frame -> ``(1, S, S, 3)`` float32 [0, 1], letterboxed.
+
+        Ultralytics-style aspect-preserving resize + centred 114-gray pad
+        (the previous stretch resize distorted 640x480 frames by 33%).
+        Returns ``(batch, (scale, pad_x, pad_y))``; the exact unmap for a
+        model-space coordinate is ``(v - pad) / scale``.
+        """
+        from icp_slam_yolo_tpu.io.yolo_data import LETTERBOX_FILL, letterbox_transform
+
         img = np.asarray(frame)
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
         h, w = img.shape[:2]
         s = self.img_size
-        yi = (np.arange(s) * (h / s)).astype(np.int32).clip(0, h - 1)
-        xi = (np.arange(s) * (w / s)).astype(np.int32).clip(0, w - 1)
-        resized = img[yi][:, xi, :3]
-        return resized[None], (w / s, h / s)
+        scale, px, py = letterbox_transform(w, h, s)
+        nw, nh = round(w * scale), round(h * scale)
+        # nearest-index resample (no PIL dependency on the hot serving path)
+        yi = ((np.arange(nh) + 0.5) / scale - 0.5).round().astype(np.int32).clip(0, h - 1)
+        xi = ((np.arange(nw) + 0.5) / scale - 0.5).round().astype(np.int32).clip(0, w - 1)
+        out = np.full((s, s, 3), LETTERBOX_FILL, np.float32)
+        x0, y0 = int(round(px)), int(round(py))
+        out[y0 : y0 + nh, x0 : x0 + nw] = img[yi][:, xi, :3]
+        return out[None], (scale, px, py)
 
     def __call__(self, frame: np.ndarray) -> dict:
         """``detect(frame) -> boxes`` (BASELINE.json public API).
@@ -80,28 +95,42 @@ class Detector:
         Returns dict with ``boxes`` (N, 4) xyxy in ORIGINAL frame pixels,
         ``scores``, ``classes`` — N = number of valid detections.
         """
-        batch, (sx, sy) = self.preprocess(frame)
-        dets, extras = self._predict(
+        batch, (scale, px, py) = self.preprocess(frame)
+        dets, extras, protos = self._predict(
             self.params, self.batch_stats, jnp.asarray(batch),
             jnp.float32(self.conf_threshold), jnp.float32(self.iou_threshold),
         )
         valid = np.asarray(dets.valid[0])
-        boxes = np.asarray(dets.boxes[0])[valid]
-        boxes = boxes * np.array([sx, sy, sx, sy], np.float32)
+        model_boxes = np.asarray(dets.boxes[0])[valid]
+        # exact letterbox unmap to original frame pixels
+        boxes = (model_boxes - np.array([px, py, px, py], np.float32)) / np.float32(scale)
         out = {
             "boxes": boxes,
             "scores": np.asarray(dets.scores[0])[valid],
             "classes": np.asarray(dets.classes[0])[valid],
         }
         if extras is not None:
-            out["angles"] = np.asarray(extras[0])
+            # per-anchor extras gathered to the KEPT boxes (row i of the
+            # extras output corresponds to row i of out["boxes"])
+            kept = np.asarray(dets.anchor_idx[0])[valid]
+            gathered = np.asarray(extras[0])[kept]
+            out["angles" if self.task == "obb" else "mask_coeffs"] = gathered
+        if protos is not None:
+            from icp_slam_yolo_tpu.models.segment import assemble_masks
+
+            out["masks"] = np.asarray(
+                assemble_masks(
+                    protos[0], jnp.asarray(out["mask_coeffs"]).reshape(-1, protos.shape[-1]),
+                    jnp.asarray(model_boxes).reshape(-1, 4), self.img_size,
+                )
+            )  # (K, Hp, Wp) probabilities at 1/4 model resolution
         return out
 
     def predict_batch(self, images: jnp.ndarray) -> Detections:
         """Jitted path for already-preprocessed ``(B, S, S, 3)`` batches.
         Thresholds are traced arguments, so mutating ``conf_threshold`` (e.g.
         for an AP sweep) takes effect without retracing."""
-        dets, _ = self._predict(
+        dets, _, _ = self._predict(
             self.params, self.batch_stats, images,
             jnp.float32(self.conf_threshold), jnp.float32(self.iou_threshold),
         )

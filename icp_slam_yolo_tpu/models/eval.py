@@ -68,8 +68,15 @@ def evaluate_detections(predictions: list[dict], ground_truths: list[dict], iou_
                 iou = _iou_matrix(pboxes, gboxes)
                 taken = np.zeros(len(gboxes), bool)
                 for i in range(len(pboxes)):
-                    j = int(np.argmax(iou[i])) if len(gboxes) else -1
-                    ok = j >= 0 and iou[i, j] >= thr and not taken[j]
+                    # greedy COCO/Ultralytics matching: best *untaken* gt above
+                    # the threshold (argmax over a taken gt must not shadow a
+                    # free one)
+                    if len(gboxes):
+                        row = np.where(taken, -1.0, iou[i])
+                        j = int(np.argmax(row))
+                        ok = row[j] >= thr
+                    else:
+                        ok = False
                     if ok:
                         taken[j] = True
                     tps.append(ok)
@@ -104,7 +111,7 @@ def evaluate_detector(detector, dataset_root: str, img_size: int, max_images: in
         import jax.numpy as jnp
 
         for ip, lp in pairs:
-            img, cls, boxes = load_example(ip, lp, img_size)
+            img, cls, boxes, _ = load_example(ip, lp, img_size)
             dets = detector.predict_batch(jnp.asarray(img[None]))
             valid = np.asarray(dets.valid[0])
             preds.append({

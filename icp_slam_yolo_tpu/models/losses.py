@@ -204,7 +204,11 @@ def detection_loss(
         ).astype(jnp.float32)  # (B, A)
         pred_ang = (jax.nn.sigmoid(ang_l) - 0.25) * math.pi  # inference decode
         tgt_ang = jnp.take_along_axis(gt_angles, assigned_gt, axis=1)
-        diff = pred_ang - tgt_ang
+        # a rectangle's orientation is pi-periodic: wrap the error into
+        # (-pi/2, pi/2] so equivalent orientations near the (-pi/4, 3pi/4)
+        # decode boundary aren't penalised as ~pi errors
+        raw = pred_ang - tgt_ang
+        diff = jnp.arctan2(jnp.sin(2.0 * raw), jnp.cos(2.0 * raw)) * 0.5
         huber = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff * diff, jnp.abs(diff) - 0.5)
         loss_ang = jnp.sum(huber * w_fg) / norm
         total = total + angle_weight * loss_ang

@@ -20,6 +20,9 @@ class Detections(NamedTuple):
     scores: jnp.ndarray  # (K,)
     classes: jnp.ndarray # (K,) int32
     valid: jnp.ndarray   # (K,) bool
+    anchor_idx: jnp.ndarray  # (K,) int32 index into the flat anchor axis —
+    # lets callers gather per-anchor extras (OBB angles, mask coefficients)
+    # for exactly the kept boxes; -1 where invalid
 
 
 def box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -77,6 +80,7 @@ def nms(
         scores=jnp.where(keep, top_scores, 0.0),
         classes=jnp.where(keep, top_classes, -1),
         valid=keep,
+        anchor_idx=jnp.where(keep, top_idx.astype(jnp.int32), -1),
     )
 
 

@@ -49,7 +49,9 @@ def main():
     print(f"checkpoint saved to {args.out}", flush=True)
 
     # mask-IoU eval on val: best detection's mask vs the first gt instance mask
-    from icp_slam_yolo_tpu.io.yolo_data import find_pairs, load_example, parse_polygons, rasterize_polygon
+    from icp_slam_yolo_tpu.io.yolo_data import (
+        find_pairs, load_example, map_polygon, parse_polygons, rasterize_polygon,
+    )
     from icp_slam_yolo_tpu.models.segment import assemble_masks
     from icp_slam_yolo_tpu.models.yolo import decode_predictions
 
@@ -58,7 +60,7 @@ def main():
     sp = args.img_size // 4
     ious = []
     for ip, lp in find_pairs(args.data + "/val")[:60]:
-        img, cls, boxes = load_example(ip, lp, args.img_size)
+        img, cls, boxes, (_, _, _, w0, h0) = load_example(ip, lp, args.img_size)
         outs, protos = fwd(jnp.asarray(img[None]))
         b, s, coefs = decode_predictions(outs, args.img_size)
         top = int(np.argmax(np.asarray(s[0, :, 0])))
@@ -66,7 +68,7 @@ def main():
         _, polys = parse_polygons(lp)
         if not polys:
             continue
-        gt = rasterize_polygon(polys[0] * sp, sp)
+        gt = rasterize_polygon(map_polygon(polys[0], w0, h0, args.img_size) * (sp / args.img_size), sp)
         pred = mask >= 0.5
         inter = float(np.logical_and(pred, gt > 0).sum())
         union = float(np.logical_or(pred, gt > 0).sum())

@@ -85,3 +85,87 @@ def test_detector_end_to_end():
     assert set(out) >= {"boxes", "scores", "classes"}
     # untrained model with prior bias ~ -4.6 -> p ~ 0.01: no detections at conf 0.5
     assert len(out["boxes"]) == 0
+
+
+def test_nms_anchor_idx_tracks_kept_boxes():
+    """anchor_idx points back into the flat candidate axis for every kept box."""
+    boxes = jnp.asarray(
+        [[0.0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60], [0, 0, 10, 10]]
+    )
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.3])
+    classes = jnp.asarray([0, 0, 0, 1], jnp.int32)
+    det = nms(boxes, scores, classes, conf_threshold=0.25, iou_threshold=0.5, max_detections=4)
+    kept = np.asarray(det.valid)
+    idx = np.asarray(det.anchor_idx)
+    for i in range(4):
+        if kept[i]:
+            np.testing.assert_allclose(np.asarray(det.boxes)[i], np.asarray(boxes)[idx[i]])
+            assert float(scores[idx[i]]) == float(np.asarray(det.scores)[i])
+        else:
+            assert idx[i] == -1
+
+
+def test_detector_obb_angles_align_with_boxes():
+    """out['angles'] rows must correspond 1:1 to out['boxes'] rows (the old
+    code returned ALL per-anchor angles)."""
+    det = Detector(num_classes=1, task="obb", img_size=SIZE, conf_threshold=0.005)
+    frame = (np.random.default_rng(1).uniform(0, 255, (480, 640, 3))).astype(np.uint8)
+    out = det(frame)
+    assert len(out["angles"]) == len(out["boxes"])
+    if len(out["angles"]):
+        a = out["angles"]
+        assert (a > -np.pi / 4 - 1e-3).all() and (a < 3 * np.pi / 4 + 1e-3).all()
+
+
+def test_detector_segment_coeffs_align_with_boxes():
+    det = Detector(num_classes=1, task="segment", img_size=SIZE, conf_threshold=0.005)
+    frame = (np.random.default_rng(2).uniform(0, 255, (480, 640, 3))).astype(np.uint8)
+    out = det(frame)
+    assert "angles" not in out
+    assert len(out["mask_coeffs"]) == len(out["boxes"])
+    assert len(out["masks"]) == len(out["boxes"])
+    if len(out["masks"]):
+        assert out["masks"].shape[1:] == (SIZE // 4, SIZE // 4)
+
+
+def test_letterbox_preserves_aspect_and_unmaps_exactly():
+    """640x480 -> 128: uniform scale, centred pad, exact round-trip unmap."""
+    from icp_slam_yolo_tpu.io.yolo_data import LETTERBOX_FILL, letterbox_transform
+
+    det = Detector(num_classes=1, img_size=SIZE, conf_threshold=0.5)
+    frame = np.zeros((480, 640, 3), np.uint8)
+    frame[100:140, 300:400] = 200
+    batch, (scale, px, py) = det.preprocess(frame)
+    assert batch.shape == (1, SIZE, SIZE, 3)
+    s2, px2, py2 = letterbox_transform(640, 480, SIZE)
+    assert (scale, px, py) == (s2, px2, py2)
+    assert scale == SIZE / 640 and px == 0 and py == (SIZE - round(480 * scale)) / 2
+    # pad rows above/below hold the Ultralytics gray
+    np.testing.assert_allclose(batch[0, 0], LETTERBOX_FILL)
+    np.testing.assert_allclose(batch[0, -1], LETTERBOX_FILL)
+    # the bright block lands at the mapped location (uniform in x and y)
+    ys, xs = np.nonzero(batch[0, :, :, 0] > 0.5)
+    np.testing.assert_allclose(xs.min(), 300 * scale + px, atol=1.5)
+    np.testing.assert_allclose(ys.min(), 100 * scale + py, atol=1.5)
+    # unmap round trip
+    assert abs((xs.min() - px) / scale - 300) < 1.5 / scale
+
+
+def test_load_example_letterboxes_boxes():
+    import tempfile, os
+    from PIL import Image
+    from icp_slam_yolo_tpu.io.yolo_data import letterbox_transform, load_example
+
+    d = tempfile.mkdtemp()
+    Image.new("RGB", (640, 480), (10, 10, 10)).save(os.path.join(d, "a.jpg"))
+    with open(os.path.join(d, "a.txt"), "w") as f:
+        f.write("0 0.5 0.5 0.25 0.5\n")  # centred box 160x240 px
+    img, cls, boxes, (scale, px, py, w0, h0) = load_example(
+        os.path.join(d, "a.jpg"), os.path.join(d, "a.txt"), SIZE
+    )
+    assert (w0, h0) == (640, 480)
+    assert (scale, px, py) == letterbox_transform(640, 480, SIZE)
+    x1, y1, x2, y2 = boxes[0]
+    # aspect preserved: width/height ratio of the box matches the original
+    np.testing.assert_allclose((x2 - x1) / (y2 - y1), 160 / 240, rtol=1e-5)
+    np.testing.assert_allclose([x1, y1], [240 * scale + px, 120 * scale + py], rtol=1e-5)
