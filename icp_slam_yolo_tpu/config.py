@@ -83,7 +83,14 @@ class IcpConfig:
     max_rmse: float = 50.0          # accept gate (`Config.py:12`, `mainn.py:316`)
     min_points: int = 10            # `gicp_lidar.py:13`
     tolerance: float = 1e-5         # convergence on mean-error delta (`icp.py:50`)
-    estimator: str = "point_to_point"
+    estimator: str = "point_to_point"  # | "point_to_plane" | "gicp"
+    gicp_k: int = 20                # covariance neighbourhood (`gicp_lidar.py:23-27` max_nn)
+    gicp_epsilon: float = 1e-3      # Segal plane-to-plane eigenvalue floor
+    rescue_estimator: str = ""      # "" = off.  When set (e.g. "gicp"), a scan
+    # the primary estimator REJECTS is re-registered with this estimator under
+    # `lax.cond` — in the sequential replay the taken-branch semantics mean the
+    # expensive rescue only ever runs on the ~1-5% rejected scans.  (Under
+    # vmap, cond lowers to select and both branches run: leave off for fleets.)
     huber_delta_mm: float = 0.0     # 0 disables robust weighting
     backend: str = "auto"           # "auto" | "xla" | "fused" (single Pallas kernel)
     early_exit: bool = True         # stop fused kernel at convergence (keep True
@@ -154,7 +161,14 @@ class SlamConfig:
         return dataclasses.replace(self, **kw)
 
 
-OFFLINE_CONFIG = SlamConfig()
+# Offline replay: fused p2p fast path + GICP second-chance registration for
+# rejected scans (full-1800 A/B: acceptance 99.33% -> 99.39%, median RMSE
+# 20.92 -> 20.68 mm; the rescue only executes on the ~0.7% rejected scans).
+# eps=0.1 outperformed Segal's 1e-3 here: 2-D corridor tangents need more
+# isotropic anchoring than 3-D planes.
+OFFLINE_CONFIG = SlamConfig(
+    icp=IcpConfig(rescue_estimator="gicp", gicp_epsilon=0.1),
+)
 
 REALTIME_CONFIG = SlamConfig(
     gate=REALTIME_GATE,

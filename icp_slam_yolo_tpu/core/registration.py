@@ -18,9 +18,12 @@ Open3D's convergence criteria without data-dependent trip counts).
 within the threshold after the final transform; no inliers -> +inf, and clouds
 with fewer than ``min_points`` valid points -> +inf (`gicp_lidar.py:13-15`).
 
-Estimators: ``point_to_point`` (default) and ``point_to_plane`` (target normals
-estimated from each correspondence's local map neighbourhood) stand in for the
-reference's GICP; validation is trajectory-level per SURVEY.md section 7.
+Estimators: ``point_to_point`` (default, closed-form Kabsch; eligible for the
+fully-fused Pallas kernel), ``point_to_plane`` (one-NN tangent normals), and
+``gicp`` — the covariance-weighted Generalized ICP the reference's primary
+registration uses (`gicp_lidar.py:23-35`): k-NN local covariances regularised
+to Segal's plane-to-plane form, Mahalanobis Gauss-Newton solve per iteration.
+Validation is trajectory-level per SURVEY.md section 7.
 """
 
 from __future__ import annotations
@@ -109,7 +112,59 @@ def icp_masked(
         return RegistrationResult(pose=pose, rmse=rmse, fitness=fitness, n_inliers=n_in, n_iters=n_iters)
 
     use_p2l = cfg.estimator == "point_to_plane"
+    use_gicp = cfg.estimator == "gicp"
     normals = _target_normals(tgt_xy, tgt_valid) if use_p2l else None
+    if use_gicp:
+        from icp_slam_yolo_tpu.ops.nn import local_covariances, local_covariances_at
+
+        # regularised local source covariances (Segal plane-to-plane) in the
+        # sensor frame, rotated per iteration; target covariances are
+        # evaluated at the *matched* points inside the loop (sweeping all
+        # target slots up front costs ~50x more on a 24k-point map)
+        cov_src = local_covariances(src_xy, src_valid, cfg.gicp_k, cfg.gicp_epsilon)
+
+    def _gicp_step(pose, moved, matched, idx, w):
+        """One Gauss-Newton step of the GICP objective
+        ``sum_i w_i r_i^T (C_tgt_i + R C_src_i R^T)^{-1} r_i`` over SE(2)
+        (`gicp_lidar.py:31-35`'s TransformationEstimationForGeneralizedICP).
+        Solved in metres so the 3x3 normal matrix stays f32-conditioned.
+        """
+        rot = geo.se2_rotation(pose)
+        ca = jnp.einsum(
+            "ab,nbc,dc->nad", rot, cov_src, rot, precision=jax.lax.Precision.HIGHEST
+        )
+        s = local_covariances_at(matched, tgt_xy, tgt_valid, cfg.gicp_k, cfg.gicp_epsilon) + ca
+        det = jnp.maximum(s[:, 0, 0] * s[:, 1, 1] - s[:, 0, 1] * s[:, 1, 0], 1e-12)
+        m00, m01, m11 = s[:, 1, 1] / det, -s[:, 0, 1] / det, s[:, 0, 0] / det
+
+        pm = moved * jnp.float32(1e-3)
+        r = pm - matched * jnp.float32(1e-3)
+        jx, jy = -pm[:, 1], pm[:, 0]  # d(residual)/d(theta) = perp(p)
+        u0 = m00 * r[:, 0] + m01 * r[:, 1]
+        u1 = m01 * r[:, 0] + m11 * r[:, 1]
+        t0 = m00 * jx + m01 * jy
+        t1 = m01 * jx + m11 * jy
+        a00, a01, a02 = jnp.sum(w * m00) + 1e-9, jnp.sum(w * m01), jnp.sum(w * t0)
+        a11, a12 = jnp.sum(w * m11) + 1e-9, jnp.sum(w * t1)
+        a22 = jnp.sum(w * (jx * t0 + jy * t1)) + 1e-9
+        g0, g1, g2 = jnp.sum(w * u0), jnp.sum(w * u1), jnp.sum(w * (jx * u0 + jy * u1))
+        # closed-form symmetric 3x3 solve (adjugate/Cramer) — H is SPD and
+        # O(1)-conditioned in metres; linalg.solve's LU path is overkill and
+        # multiplies XLA compile time inside the scan loop
+        c00 = a11 * a22 - a12 * a12
+        c01 = a02 * a12 - a01 * a22
+        c02 = a01 * a12 - a02 * a11
+        c11 = a00 * a22 - a02 * a02
+        c12 = a01 * a02 - a00 * a12
+        c22 = a00 * a11 - a01 * a01
+        det = a00 * c00 + a01 * c01 + a02 * c02
+        inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+        d0 = -(c00 * g0 + c01 * g1 + c02 * g2) * inv_det
+        d1 = -(c01 * g0 + c11 * g1 + c12 * g2) * inv_det
+        d2 = -(c02 * g0 + c12 * g1 + c22 * g2) * inv_det
+        delta = jnp.stack([d0, d1, d2])
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        return jnp.array([delta[0] * 1e3, delta[1] * 1e3, delta[2]], jnp.float32)
 
     def body(carry, _):
         pose, prev_err, done, iters = carry
@@ -119,15 +174,18 @@ def icp_masked(
         w = (src_valid & (dist < cfg.threshold_mm)).astype(jnp.float32)
         if cfg.huber_delta_mm > 0:
             w = w * jnp.minimum(1.0, cfg.huber_delta_mm / jnp.maximum(dist, 1e-6))
-        if use_p2l:
-            # project the residual onto the target normal: solve point-to-point
-            # against the foot of the perpendicular (one Gauss-Newton step of
-            # the point-to-plane objective, exact for small angles)
-            nrm = normals[idx]
-            resid = jnp.sum((matched - moved) * nrm, axis=-1, keepdims=True)
-            matched = moved + resid * nrm
-        dtheta, dt = best_fit_se2(moved, matched, w)
-        delta = jnp.array([dt[0], dt[1], dtheta], jnp.float32)
+        if use_gicp:
+            delta = _gicp_step(pose, moved, matched, idx, w)
+        else:
+            if use_p2l:
+                # project the residual onto the target normal: solve point-to-point
+                # against the foot of the perpendicular (one Gauss-Newton step of
+                # the point-to-plane objective, exact for small angles)
+                nrm = normals[idx]
+                resid = jnp.sum((matched - moved) * nrm, axis=-1, keepdims=True)
+                matched = moved + resid * nrm
+            dtheta, dt = best_fit_se2(moved, matched, w)
+            delta = jnp.array([dt[0], dt[1], dtheta], jnp.float32)
         new_pose = geo.se2_compose(delta, pose)
 
         err = jnp.sum(jnp.where(w > 0, dist, 0.0)) / jnp.maximum(jnp.sum(w > 0), 1)
@@ -208,7 +266,7 @@ def gicp(points1, points2, threshold: float = 200.0, voxel_size: float = 20.0, t
     if len(p1) < 10 or len(p2) < 10:
         return float("inf"), np.eye(4)
 
-    cfg = IcpConfig(threshold_mm=float(threshold), voxel_size_mm=float(voxel_size))
+    cfg = IcpConfig(threshold_mm=float(threshold), voxel_size_mm=float(voxel_size), estimator="gicp")
     n1 = -(-len(p1) // 8) * 8
     n2 = -(-len(p2) // 128) * 128  # lane alignment for the fused kernel
     s, sv = _pad_points(p1, n1)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 _OFF = 4096          # voxel-index offset: supports coordinates in [-OFF, OFF) voxels
 _STRIDE = 2 * _OFF   # row stride of the flattened voxel key
-_SENTINEL = jnp.int32(2**30)
+_SENTINEL = 2**30  # plain int: avoid import-time backend initialisation
 
 
 def voxel_keys(xy: jnp.ndarray, valid: jnp.ndarray, voxel_size: float) -> jnp.ndarray:

@@ -107,6 +107,25 @@ def make_step(cfg: SlamConfig = SlamConfig()):
         res = icp_masked(ds_xy, ds_valid, tgt_xy, tgt_valid, state.pose, cfg.icp)
         accepted = enough & (res.rmse <= cfg.icp.max_rmse)
 
+        if cfg.icp.rescue_estimator:
+            # second-chance registration for rejected scans (the reference's
+            # GICP estimator, `gicp_lidar.py:23-35`, targets exactly the
+            # corridor-like geometry where gated p2p fails the RMSE gate).
+            # lax.cond executes only the taken branch sequentially, so the
+            # rescue is ~free on the 95-99% of scans that pass.
+            import dataclasses as _dc
+
+            rescue_cfg = _dc.replace(
+                cfg.icp, estimator=cfg.icp.rescue_estimator, rescue_estimator="", backend="xla"
+            )
+            res = jax.lax.cond(
+                accepted,
+                lambda _: res,
+                lambda _: icp_masked(ds_xy, ds_valid, tgt_xy, tgt_valid, state.pose, rescue_cfg),
+                None,
+            )
+            accepted = enough & (res.rmse <= cfg.icp.max_rmse)
+
         def do_update(op):
             state, pose = op
             cur_xy = geo.se2_apply(pose, xy)

@@ -23,13 +23,36 @@ GATES = {
 
 
 def main():
+    import argparse
+
     import icp_slam_yolo_tpu as slam
     from icp_slam_yolo_tpu.io import scans as scans_io
 
-    scans, _, _ = scans_io.load_sequence("/root/reference/Scan_data_1", 1, 1801, n_max=512)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--estimator", default=None, help="override IcpConfig.estimator (A/B runs)")
+    ap.add_argument("--rescue", default=None, help="override IcpConfig.rescue_estimator")
+    ap.add_argument("--gicp-epsilon", type=float, default=None)
+    ap.add_argument("--modes", default="offline,realtime")
+    ap.add_argument("--end", type=int, default=1801)
+    args = ap.parse_args()
+
+    scans, _, _ = scans_io.load_sequence("/root/reference/Scan_data_1", 1, args.end, n_max=512)
     results = {}
     failed = False
-    for mode, cfg in (("offline", slam.OFFLINE_CONFIG), ("realtime", slam.REALTIME_CONFIG)):
+    all_cfgs = {"offline": slam.OFFLINE_CONFIG, "realtime": slam.REALTIME_CONFIG}
+    for mode in args.modes.split(","):
+        cfg = all_cfgs[mode]
+        if args.estimator or args.rescue is not None or args.gicp_epsilon is not None:
+            import dataclasses
+
+            kw = {}
+            if args.estimator:
+                kw["estimator"] = args.estimator
+            if args.rescue is not None:
+                kw["rescue_estimator"] = args.rescue
+            if args.gicp_epsilon is not None:
+                kw["gicp_epsilon"] = args.gicp_epsilon
+            cfg = cfg.replace(icp=dataclasses.replace(cfg.icp, **kw))
         eng = slam.Slam(cfg)
         t0 = time.time()
         _, outs = eng.run(scans)
