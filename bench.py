@@ -190,15 +190,57 @@ def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
     return n_robots * n_scans / float(np.median(times))
 
 
+def bench_single_pair(src, tgt, repeats: int = 40) -> float:
+    """B=1 registration latency in ms (the sequential-replay regime: the
+    `lax.scan` replay path runs exactly one registration at a time, so this
+    latency bounds full-replay scans/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icp_slam_yolo_tpu.config import IcpConfig
+    from icp_slam_yolo_tpu.core.registration import icp_masked_jit
+
+    cfg = IcpConfig()
+
+    def pad(p, mult):
+        n = -(-len(p) // mult) * mult
+        out = np.zeros((n, 2), np.float32)
+        out[: len(p)] = p
+        v = np.zeros(n, bool)
+        v[: len(p)] = True
+        return jnp.asarray(out), jnp.asarray(v)
+
+    s, sv = pad(src, 8)
+    t, tv = pad(tgt, 128)
+    init = jnp.zeros(3, jnp.float32)
+    res = icp_masked_jit(s, sv, t, tv, init, cfg)
+    jax.block_until_ready(res.rmse)
+    times = []
+    ik = init
+    for k in range(max(6, repeats // 10)):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            r = icp_masked_jit(s, sv, t, tv, ik, cfg)
+            ik = ik * 0 + 1e-6 * r.rmse  # unique inputs: relay caches repeats
+        jax.block_until_ready(ik)
+        times.append((time.perf_counter() - t0) / 10)
+    return float(np.median(times[2:])) * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--all", action="store_true", help="also run secondary benchmarks (stderr)")
+    ap.add_argument(
+        "--all", action="store_true",
+        help="also run secondary benchmarks and write BENCH_DETAIL.json",
+    )
     args = ap.parse_args()
 
     src, tgt = _load_pair()
     base = bench_baseline(src, tgt)
     ours = bench_tpu(src, tgt)
+    pair_ms = bench_single_pair(src, tgt)
 
+    secondary = {"single_pair_latency_ms": round(pair_ms, 3)}
     if args.all:
         seq_hz = bench_sequence()
         print(f"# full-sequence SLAM loop: {seq_hz:.1f} scans/s (reference target: 10 Hz)", file=sys.stderr)
@@ -207,7 +249,24 @@ def main():
         fleet = bench_fleet()
         print(f"# fleet SLAM (8 robots, vmapped): {fleet:.1f} scans/s total", file=sys.stderr)
         print(f"# baseline (NumPy oracle, CPU): {base:.1f} reg/s", file=sys.stderr)
+        print(f"# single-pair (B=1) latency: {pair_ms:.3f} ms", file=sys.stderr)
+        secondary.update(
+            sequence_scans_per_sec=round(seq_hz, 1),
+            detect_fps_640=round(fps, 1),
+            fleet_scans_per_sec=round(fleet, 1),
+            baseline_cpu_reg_per_sec=round(base, 1),
+        )
+        import os
 
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        with open(detail_path, "w") as f:
+            json.dump(
+                {"icp_registrations_per_sec": round(ours, 1), **secondary}, f, indent=2
+            )
+        print(f"# wrote {detail_path}", file=sys.stderr)
+
+    # ONE JSON line (driver contract); secondary numbers ride along as a
+    # sub-object so BENCH_r{N}.json files are comparable round over round
     print(
         json.dumps(
             {
@@ -215,6 +274,7 @@ def main():
                 "value": round(ours, 1),
                 "unit": "reg/s",
                 "vs_baseline": round(ours / base, 1),
+                "secondary": secondary,
             }
         )
     )
