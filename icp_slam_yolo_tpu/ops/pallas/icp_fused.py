@@ -7,9 +7,24 @@ the source scan and target map resident in VMEM for all iterations.  Zero HBM
 traffic between iterations; no XLA per-op dispatch overhead (the jitted XLA
 path issues ~30 small ops per iteration, which dominates at these sizes).
 
-Correspondence coordinates are extracted with a one-hot select-and-reduce per
-target tile (no dynamic gather, which Mosaic lowers poorly); moments are
-centred before reduction (numerical parity with `ops/kabsch.best_fit_se2`) and
+The NN sweep is written in Gram form to minimise VPU work per target element:
+the host precomputes ``t8 = [-2*tx; -2*ty; |t|^2 + penalty]`` (penalty = 1e30
+on invalid slots, folding the validity mask into the distance itself), so each
+tile costs one fused ``G = px*r0 + py*r1 + r2`` evaluation, one min-reduce and
+a first-minimum one-hot extraction — ~12 VPU ops/element instead of the ~16 of
+the naive ``(px-tx)^2+(py-ty)^2`` formulation (whose mask select and two-term
+squared distance the Gram form folds away).  Ties are broken to the first
+column within a tile and the first tile across tiles.  Because
+the Gram form cancels catastrophically at arena scale (|t|^2 ~ 2e8 mm^2), the
+gating/RMSE distance is recomputed exactly from the matched coordinates on the
+cheap (S, 1) column.  Per-tile liveness (entirely-invalid tiles, common since
+`compact` packs valid points to the front) is precomputed on the host into an
+SMEM flag vector: skipping a dead tile costs one scalar branch, not a (1, T)
+vector reduce per iteration.
+
+Correspondence coordinates are extracted with a select-and-reduce per target
+tile (no dynamic gather, which Mosaic lowers poorly); moments are centred
+before reduction (numerical parity with `ops/kabsch.best_fit_se2`) and
 accumulated in metres.
 
 Output layout (1, 8) f32: ``[tx, ty, cos, sin, rmse_mm, n_inliers, n_iters, 0]``
@@ -29,54 +44,87 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30
 
 
-def _nn_pass(px, py, tgt_t_ref, valid_t_ref, col, tile_t, n_tiles, t):
-    """One full NN sweep: returns (min d2 (S,1), matched x (S,1), matched y (S,1))."""
+def _nn_pass(px, py, t8_ref, live_ref, col, tile_t, n_tiles, exact):
+    """One full NN sweep in Gram form.
+
+    Returns ``(exact d2 (S,1), matched x (S,1), matched y (S,1))``.
+
+    Ties in the f32 Gram value are a real hazard: g is quantised at
+    ~1e-7 * |t|^2 (tens of mm^2 at arena scale), so *spatially distant* points
+    at similar range can round to the same g, and averaging their coordinates
+    would fabricate a midpoint that is not a map point at all.  Two modes:
+
+    * ``exact=True``: first-minimum one-hot via an iota argmin — exactly one
+      column wins.  Used for the final RMSE pass (the reported metric must
+      match the oracle's definition).
+    * ``exact=False``: sum the tied columns and *drop the row* (d2 -> BIG)
+      when more than one column tied.  ~3 VPU ops/element cheaper than the
+      iota path, but NOT used in the iteration loop: the dropped set changes
+      from iteration to iteration, which perturbs the mean-error signal far
+      more than the 1e-5 convergence tolerance — the freeze never fires and
+      every registration runs to max_iterations (measured: 50 instead of 22
+      on the golden pair, a net loss despite the cheaper sweep).  Kept for
+      callers that want a cheap approximate pass.
+    """
     s = px.shape[0]
+    sentinel = jnp.int32(tile_t)
+    zero = jnp.float32(0.0)
 
     def tbody(k, carry):
-        tv = valid_t_ref[0:1, pl.ds(k * tile_t, tile_t)]
-
         def live(carry):
-            run_min, mx, my = carry
-            tx = tgt_t_ref[0:1, pl.ds(k * tile_t, tile_t)]
-            ty = tgt_t_ref[1:2, pl.ds(k * tile_t, tile_t)]
-            dx = px - tx
-            dy = py - ty
-            d2 = dx * dx + dy * dy
-            d2 = jnp.where(tv > 0, d2, _BIG)
-            tmin = jnp.min(d2, axis=1, keepdims=True)
-            arg = jnp.min(jnp.where(d2 <= tmin, col, t), axis=1, keepdims=True)
-            sel = col == arg  # exactly one column per row (first minimum)
-            tmx = jnp.sum(jnp.where(sel, tx, 0.0), axis=1, keepdims=True)
-            tmy = jnp.sum(jnp.where(sel, ty, 0.0), axis=1, keepdims=True)
-            better = tmin < run_min
+            min_g, mx_acc, my_acc, cnt_acc = carry
+            r0 = t8_ref[0:1, pl.ds(k * tile_t, tile_t)]  # -2*tx
+            r1 = t8_ref[1:2, pl.ds(k * tile_t, tile_t)]  # -2*ty
+            r2 = t8_ref[2:3, pl.ds(k * tile_t, tile_t)]  # |t|^2 (+BIG if invalid)
+            g = px * r0 + py * r1 + r2  # d2 - |p|^2, row-constant offset
+            tmin = jnp.min(g, axis=1, keepdims=True)
+            if exact:
+                arg = jnp.min(jnp.where(g <= tmin, col, sentinel), axis=1, keepdims=True)
+                one = col == arg  # exactly one column per row (first minimum)
+                cnt_t = cnt_acc  # placeholder; count is 1 by construction
+            else:
+                one = g <= tmin
+                cnt_t = jnp.sum(jnp.where(one, 1.0, zero), axis=1, keepdims=True)
+            mx_t = jnp.sum(jnp.where(one, r0, zero), axis=1, keepdims=True)
+            my_t = jnp.sum(jnp.where(one, r1, zero), axis=1, keepdims=True)
+            better = tmin < min_g
             return (
-                jnp.where(better, tmin, run_min),
-                jnp.where(better, tmx, mx),
-                jnp.where(better, tmy, my),
+                jnp.where(better, tmin, min_g),
+                jnp.where(better, mx_t, mx_acc),
+                jnp.where(better, my_t, my_acc),
+                cnt_acc if exact else jnp.where(better, cnt_t, cnt_acc),
             )
 
-        # `compact` packs valid map points to the front of the buffer, so the
-        # tail tiles are usually entirely invalid — one cheap (1, T) reduce
-        # skips the whole (S, T) sweep for them (no-op either way: invalid
-        # distances are BIG and never win the running min)
-        return jax.lax.cond(jnp.max(tv) > 0, live, lambda c: c, carry)
+        # dead tiles (all-invalid; `compact` packs valid points to the front so
+        # the tail is usually dead) cost one scalar SMEM branch
+        return jax.lax.cond(live_ref[k] > 0, live, lambda c: c, carry)
 
     init = (
         jnp.full((s, 1), jnp.float32(_BIG)),
         jnp.zeros((s, 1), jnp.float32),
         jnp.zeros((s, 1), jnp.float32),
+        jnp.ones((s, 1), jnp.float32),
     )
-    return jax.lax.fori_loop(0, n_tiles, tbody, init)
+    min_g, mx_acc, my_acc, cnt = jax.lax.fori_loop(0, n_tiles, tbody, init)
+    mx = mx_acc * jnp.float32(-0.5)  # undo the -2 folded into t8 rows 0/1
+    my = my_acc * jnp.float32(-0.5)
+    # exact distance to the matched point: the Gram value min_g + |p|^2 loses
+    # ~6 digits to cancellation at |p| ~ 1e4 mm, the direct form loses none
+    dx = px - mx
+    dy = py - my
+    ok = min_g < jnp.float32(_BIG)
+    if not exact:
+        ok = jnp.logical_and(ok, cnt == 1.0)
+    d2 = jnp.where(ok, dx * dx + dy * dy, jnp.float32(_BIG))
+    return d2, mx, my
 
 
 def _icp_kernel(
-    src_ref, src_valid_ref, tgt_t_ref, valid_t_ref, params_ref, out_ref,
+    src_ref, src_valid_ref, t8_ref, live_ref, params_ref, out_ref,
     *, tile_t: int, iters: int, thr2: float, tol: float, early_exit: bool,
 ):
     s = src_ref.shape[0]
-    t = tgt_t_ref.shape[1]
-    n_tiles = t // tile_t
+    n_tiles = t8_ref.shape[1] // tile_t
     col = jax.lax.broadcasted_iota(jnp.int32, (s, tile_t), 1)
 
     sx = src_ref[:, 0:1]
@@ -95,7 +143,7 @@ def _icp_kernel(
     def iter_body(_, carry):
         cth, sth, ptx, pty, prev_err, done, iters_done = carry
         px, py = apply_pose(cth, sth, ptx, pty)
-        d2, mx, my = _nn_pass(px, py, tgt_t_ref, valid_t_ref, col, tile_t, n_tiles, t)
+        d2, mx, my = _nn_pass(px, py, t8_ref, live_ref, col, tile_t, n_tiles, exact=True)
         w = sv * (d2 < thr2).astype(jnp.float32)  # (S,1)
 
         # all eight moment sums in ONE MXU reduction — a dozen separate
@@ -186,7 +234,7 @@ def _icp_kernel(
 
     # final inlier RMSE at the converged pose (Open3D definition)
     px, py = apply_pose(cth, sth, ptx, pty)
-    d2, _, _ = _nn_pass(px, py, tgt_t_ref, valid_t_ref, col, tile_t, n_tiles, t)
+    d2, _, _ = _nn_pass(px, py, t8_ref, live_ref, col, tile_t, n_tiles, exact=True)
     w = sv * (d2 < thr2).astype(jnp.float32)
     n_in = jnp.sum(w)
     rmse = jnp.where(
@@ -208,7 +256,7 @@ def _icp_kernel(
 def icp_fused_pallas(
     src_xy, src_valid, tgt_xy, tgt_valid, init_pose,
     iters: int = 50, threshold_mm: float = 200.0, tolerance: float = 1e-5,
-    early_exit: bool = True, interpret: bool = False,
+    early_exit: bool = True, interpret: bool = False, tile_t: int | None = None,
 ):
     """Run the whole gated point-to-point ICP in one kernel.
 
@@ -217,16 +265,41 @@ def icp_fused_pallas(
     """
     s, t = src_xy.shape[0], tgt_xy.shape[0]
     assert s % 8 == 0 and t % 128 == 0, (s, t)
-    tile_t = min(t, 2048)
+    if tile_t is None:
+        tile_t = min(t, 2048)
+    assert t % tile_t == 0, (t, tile_t)
 
     kernel = functools.partial(
         _icp_kernel, tile_t=tile_t, iters=iters,
         thr2=float(threshold_mm) ** 2, tol=float(tolerance), early_exit=early_exit,
     )
     init_pose = init_pose.astype(jnp.float32)
+
+    # Recentre the problem about the valid-target centroid: |t|^2 drops from
+    # arena scale (~2e8 mm^2) to local-spread scale, shrinking the f32 Gram
+    # quantum ~10x (fewer spurious ties, better-conditioned moments).  The
+    # rigid registration is invariant: solve in the shifted frame, shift the
+    # translation back on the way out.
+    tvf = tgt_valid.astype(jnp.float32)
+    n_valid = jnp.maximum(jnp.sum(tvf), 1.0)
+    cx = jnp.sum(tgt_xy[:, 0].astype(jnp.float32) * tvf) / n_valid
+    cy = jnp.sum(tgt_xy[:, 1].astype(jnp.float32) * tvf) / n_valid
     params = jnp.stack(
-        [init_pose[0], init_pose[1], jnp.cos(init_pose[2]), jnp.sin(init_pose[2])]
+        [init_pose[0] - cx, init_pose[1] - cy, jnp.cos(init_pose[2]), jnp.sin(init_pose[2])]
     ).reshape(1, 4)
+
+    # Gram-form target matrix (XLA, once per registration — amortised over all
+    # kernel iterations): rows [-2*tx, -2*ty, |t|^2 + invalid-penalty].  The
+    # penalty replaces the per-iteration validity mask inside the kernel.
+    txp = tgt_xy[:, 0].astype(jnp.float32) - cx
+    typ = tgt_xy[:, 1].astype(jnp.float32) - cy
+    t8 = jnp.stack(
+        [-2.0 * txp, -2.0 * typ, txp * txp + typ * typ + (1.0 - tvf) * jnp.float32(_BIG)]
+    )  # (3, T)
+    # per-tile liveness flags, read as scalars from SMEM inside the kernel
+    n_tiles = t // tile_t
+    live = jnp.max(tvf.reshape(n_tiles, tile_t), axis=1).astype(jnp.int32)
+
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, 8), jnp.float32),
@@ -234,7 +307,7 @@ def icp_fused_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         # scalar results live in SMEM (Mosaic can't store scalars to VMEM)
@@ -243,11 +316,11 @@ def icp_fused_pallas(
     )(
         src_xy.astype(jnp.float32),
         src_valid.astype(jnp.float32).reshape(s, 1),
-        tgt_xy.astype(jnp.float32).T,
-        tgt_valid.astype(jnp.float32).reshape(1, t),
+        t8,
+        live,
         params,
     )
     theta = jnp.arctan2(out[0, 3], out[0, 2])
-    pose = jnp.stack([out[0, 0], out[0, 1], theta])
+    pose = jnp.stack([out[0, 0] + cx, out[0, 1] + cy, theta])
     rmse = jnp.where(out[0, 4] >= jnp.float32(_BIG), jnp.float32(jnp.inf), out[0, 4])
     return pose, rmse, out[0, 5].astype(jnp.int32), out[0, 6].astype(jnp.int32)
