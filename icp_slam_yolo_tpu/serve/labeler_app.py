@@ -11,6 +11,9 @@ class sidebar, YOLO-assist keys) with an HTTP surface:
   POST /label/nav             {dir: +1/-1} (refused while any polygon unlabeled)
   POST /label/save            write the three label formats + review CSV
   POST /label/auto            YOLO-assist ('s' key) when a detector is attached
+  GET  /label/coords          click-to-print pixel coordinates page
+  POST /label/click           {x, y} -> echoed to the server console as
+                              "[x, y]," (`labels_segmentation/lay_diem.py` parity)
 """
 
 from __future__ import annotations
@@ -95,6 +98,29 @@ refresh();
 </script></body></html>
 """
 
+# click-to-print-coords page (`lay_diem.py` parity: each click drops a red dot
+# and prints "[x, y]," — here both into the page log and the server console)
+_COORDS_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>pick coords</title>
+<style>body{font-family:system-ui;background:#111;color:#eee;margin:1rem}
+canvas{border:1px solid #555;cursor:crosshair}pre{background:#222;padding:.5rem}</style></head>
+<body><h3>click to print pixel coordinates (ESC reference: lay_diem.py)</h3>
+<canvas id="cv"></canvas><pre id="log"></pre>
+<script>
+const cv=document.getElementById('cv'), ctx=cv.getContext('2d'),
+      log=document.getElementById('log'), img=new Image();
+img.onload=()=>{cv.width=img.width; cv.height=img.height; ctx.drawImage(img,0,0);};
+img.src='/label/image?t='+Date.now();
+cv.onclick=async(e)=>{
+  const r=cv.getBoundingClientRect();
+  const x=Math.round(e.clientX-r.left), y=Math.round(e.clientY-r.top);
+  ctx.fillStyle='#f00'; ctx.beginPath(); ctx.arc(x,y,5,0,7); ctx.fill();
+  log.textContent += `[${x}, ${y}],\\n`;
+  await fetch('/label/click',{method:'POST',body:JSON.stringify({x,y})});
+};
+</script></body></html>
+"""
+
 
 def make_labeler_handler(session, detector=None):
     class Handler(BaseHTTPRequestHandler):
@@ -136,6 +162,13 @@ def make_labeler_handler(session, detector=None):
                         ],
                     }
                 )
+            elif path == "/label/coords":
+                body = _COORDS_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif path.startswith("/label/image"):
                 with open(session.images[session.index], "rb") as f:
                     data = f.read()
@@ -165,6 +198,11 @@ def make_labeler_handler(session, detector=None):
                 if "move" in data:
                     session.current[i].move(*data["move"])
                 self._json({"ok": True})
+            elif path == "/label/click":
+                data = self._body()
+                x, y = int(data.get("x", 0)), int(data.get("y", 0))
+                print(f"[{x}, {y}],", flush=True)  # lay_diem.py console format
+                self._json({"ok": True, "x": x, "y": y})
             elif path == "/label/nav":
                 d = int(self._body().get("dir", 1))
                 ok = session.next_image() if d > 0 else session.prev_image()

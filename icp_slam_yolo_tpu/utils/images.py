@@ -25,6 +25,23 @@ def resize_images(src_dir: str, dst_dir: str, size: tuple[int, int]) -> int:
     return n
 
 
+def resize_to_width(img: np.ndarray, max_width: int) -> tuple[np.ndarray, float]:
+    """Shrink an image so its width is at most ``max_width``, returning the
+    resized array and the downscale factor (`lib_main/convert.py:19-31`
+    ``resize_img`` parity: images narrower than the target pass through with
+    factor 1).  The factor lets callers map display-space clicks back to
+    original pixels, which is how the labelers use it.
+    """
+    arr = np.asarray(img)
+    h0, w0 = arr.shape[:2]
+    if w0 <= max_width:
+        return arr.copy(), 1.0
+    factor = w0 / max_width
+    im = Image.fromarray(arr if arr.dtype == np.uint8 else arr.astype(np.uint8))
+    out = im.resize((int(w0 / factor), int(h0 / factor)))
+    return np.asarray(out), factor
+
+
 def rgb_to_hsv(img: np.ndarray) -> np.ndarray:
     """Vectorised RGB [0,255] -> HSV with OpenCV ranges (H 0-179, S/V 0-255)."""
     arr = np.asarray(img, np.float32) / 255.0

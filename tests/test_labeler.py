@@ -145,4 +145,9 @@ def test_labeler_http(image_dir, tmp_path):
     assert post("/label/auto")["added"] == 2
     html = urllib.request.urlopen(base + "/label", timeout=5).read()
     assert b"canvas" in html
+    # click-to-print coords page (lay_diem.py parity)
+    html = urllib.request.urlopen(base + "/label/coords", timeout=5).read()
+    assert b"canvas" in html
+    r = post("/label/click", {"x": 17, "y": 42})
+    assert r == {"ok": True, "x": 17, "y": 42}
     srv.shutdown()

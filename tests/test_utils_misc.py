@@ -55,3 +55,13 @@ def test_reset_directory(tmp_path):
     import os
 
     assert os.path.isdir(d) and not os.listdir(d)
+
+
+def test_resize_to_width():
+    from icp_slam_yolo_tpu.utils.images import resize_to_width
+
+    img = np.zeros((80, 200, 3), np.uint8)
+    out, factor = resize_to_width(img, 100)
+    assert factor == 2.0 and out.shape[:2] == (40, 100)
+    small, factor = resize_to_width(img, 400)  # narrower than target: unchanged
+    assert factor == 1.0 and small.shape == img.shape
