@@ -11,6 +11,16 @@ The workload is BASELINE.json config 1/5: register real Scan_data_1 pairs
 the same algorithm the reference effectively runs (KDTree NN + Kabsch,
 `labels_segmentation/icp.py`) — timed single-threaded on the host CPU.
 
+Measurement protocol (the TPU is behind an async relay):
+`jax.block_until_ready` on a relay array does NOT wait for device execution,
+and Python-level chains of relay arrays degrade pathologically; the only sound
+timing is *in-graph* chaining — run K data-dependent repetitions inside ONE
+jitted program (`lax.fori_loop`, each call's output feeding the next call's
+input so nothing can be elided or overlapped), fetch one scalar to the host
+(which does wait), and subtract the same program at K=0 (pure dispatch+fetch
+overhead, ~25 ms round trip).  Inputs are perturbed per outer repeat because
+the relay content-caches identical executions.
+
 Run with no args on the TPU host: `python bench.py`.  Secondary benchmarks:
 `python bench.py --all` (human-readable extra lines on stderr).
 """
@@ -55,66 +65,92 @@ def bench_baseline(src, tgt, repeats: int = 20) -> float:
     return repeats / (time.perf_counter() - t0)
 
 
-def bench_tpu(src, tgt, batch: int = 64, repeats: int = 30) -> float:
-    """TPU registrations/sec: `vmap`ped masked ICP over a 64-pair batch."""
+def _timed_fetch(fn, args, perturb, repeats: int = 4) -> float:
+    """Median wall time of ``float(fn(*args))`` with per-repeat unique inputs
+    (the relay content-caches identical executions).  ``perturb(args, k)``
+    must return a uniquely-perturbed argument tuple."""
+    float(fn(*args))  # compile + warm
+    times = []
+    for k in range(repeats):
+        a = perturb(args, k + 1)
+        t0 = time.perf_counter()
+        float(fn(*a))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times[1:] if len(times) > 2 else times))
+
+
+def _pad(p, mult):
+    n = -(-len(p) // mult) * mult
+    out = np.zeros((n, 2), np.float32)
+    out[: len(p)] = p
+    v = np.zeros(n, bool)
+    v[: len(p)] = True
+    return out, v
+
+
+def _chain_icp(batch: int, n_calls: int, src, tgt, early_exit: bool):
+    """Jitted program: ``n_calls`` data-dependent vmapped registrations."""
     import jax
     import jax.numpy as jnp
 
     from icp_slam_yolo_tpu.config import IcpConfig
     from icp_slam_yolo_tpu.core.registration import icp_masked
 
-    cfg = IcpConfig(early_exit=False)  # batched lanes: fori beats vmapped while
+    cfg = IcpConfig(early_exit=early_exit)
     rng = np.random.default_rng(0)
-
-    def pad(p, mult):
-        n = -(-len(p) // mult) * mult
-        out = np.zeros((n, 2), np.float32)
-        out[: len(p)] = p
-        v = np.zeros(n, bool)
-        v[: len(p)] = True
-        return out, v
-
-    # right-size the padding (sublane/lane alignment only): padded rows are
-    # masked but not free — they still burn VPU sweeps
-    sxy, sv = pad(src, 8)
-    txy, tv = pad(tgt, 128)
-    n_s, n_t = len(sxy), len(txy)
-    # distinct random init rotations per lane so lanes do real, different work
+    sxy, sv = _pad(src, 8)
+    txy, tv = _pad(tgt, 128)
     inits = np.zeros((batch, 3), np.float32)
     inits[:, 2] = rng.uniform(-0.05, 0.05, batch)
-    S = jnp.asarray(np.broadcast_to(sxy, (batch, n_s, 2)).copy())
-    SV = jnp.asarray(np.broadcast_to(sv, (batch, n_s)).copy())
-    T = jnp.asarray(np.broadcast_to(txy, (batch, n_t, 2)).copy())
-    TV = jnp.asarray(np.broadcast_to(tv, (batch, n_t)).copy())
-    I = jnp.asarray(inits)
+    S = jnp.asarray(np.broadcast_to(sxy, (batch, len(sxy), 2)).copy())
+    SV = jnp.asarray(np.broadcast_to(sv, (batch, len(sv))).copy())
+    T = jnp.asarray(np.broadcast_to(txy, (batch, len(txy), 2)).copy())
+    TV = jnp.asarray(np.broadcast_to(tv, (batch, len(tv))).copy())
 
-    run = jax.jit(jax.vmap(lambda s, sv_, t, tv_, i: icp_masked(s, sv_, t, tv_, i, cfg)))
-    res = run(S, SV, T, TV, I)
-    jax.block_until_ready(res.rmse)
+    one = jax.vmap(lambda s, sv_, t, tv_, i: icp_masked(s, sv_, t, tv_, i, cfg))
 
-    # Measurement hygiene for the remote TPU relay: inputs must be UNIQUE per
-    # call (identical repeats are content-cached and report ~1000x too fast),
-    # achieved by accumulating each call's rmse into the next init; and the
-    # first samples after compile are warmup outliers, so time several
-    # 10-call samples and take the median.
-    def sample(ik):
-        t0 = time.perf_counter()
-        for _ in range(10):
-            r = run(S, SV, T, TV, ik)
-            ik = ik + 1e-7 + 1e-9 * r.rmse[:, None]
-        jax.block_until_ready(ik)
-        return (time.perf_counter() - t0) / 10, ik
+    @jax.jit
+    def prog(init):
+        def body(_, p):
+            res = one(S, SV, T, TV, p)
+            # output feeds the next call's init: a true sequential dependency
+            return p * 0.5 + res.pose * 0.5 + 1e-4
+        out = jax.lax.fori_loop(0, n_calls, body, init)
+        return jnp.sum(out)
 
-    ik = I
-    times = []
-    for k in range(max(5, repeats // 10)):
-        dt, ik = sample(ik)
-        times.append(dt)
-    return batch / float(np.median(times[2:]))
+    return prog, jnp.asarray(inits)
+
+
+def bench_tpu(src, tgt, batch: int = 64, n_calls: int = 20) -> float:
+    """TPU registrations/sec: `vmap`ped masked ICP over a 64-pair batch,
+    timed as the marginal cost of in-graph chained calls."""
+    perturb = lambda args, k: (args[0] + 1e-6 * k,)
+    p0, init = _chain_icp(batch, 0, src, tgt, early_exit=False)
+    base = _timed_fetch(p0, (init,), perturb)
+    pN, init = _chain_icp(batch, n_calls, src, tgt, early_exit=False)
+    tN = _timed_fetch(pN, (init,), perturb)
+    return batch * n_calls / max(tN - base, 1e-9)
+
+
+def bench_single_pair(src, tgt, n_calls: int = 100):
+    """B=1 registration latency in ms (the sequential-replay regime: the
+    `lax.scan` replay path runs exactly one registration at a time, so this
+    latency bounds full-replay scans/s).  Returns (converged, fixed-50-iter)."""
+    out = []
+    for early_exit in (True, False):
+        perturb = lambda args, k: (args[0] + 1e-6 * k,)
+        p0, init = _chain_icp(1, 0, src, tgt, early_exit=early_exit)
+        base = _timed_fetch(p0, (init,), perturb)
+        pN, init = _chain_icp(1, n_calls, src, tgt, early_exit=early_exit)
+        tN = _timed_fetch(pN, (init,), perturb)
+        out.append((tN - base) / n_calls * 1e3)
+    return out
 
 
 def bench_sequence(n_scans: int = 300) -> float:
-    """Full SLAM loop Hz over a Scan_data_1 prefix (steady-state, compiled)."""
+    """Full SLAM loop Hz over a Scan_data_1 prefix (steady-state, compiled).
+    `run_sequence` is one jitted `lax.scan` program — a single call IS the
+    in-graph chain; fetching the final pose forces completion."""
     import jax
     import jax.numpy as jnp
 
@@ -125,21 +161,31 @@ def bench_sequence(n_scans: int = 300) -> float:
     cfg = SlamConfig(map_capacity=8192)
     scans, _, _ = scans_io.load_sequence("/root/reference/Scan_data_1", 1, n_scans + 1, n_max=cfg.n_max)
     scans = jnp.asarray(scans)
-    state, outs = pipeline.run_sequence(scans, cfg)
-    jax.block_until_ready(state.pose)
-    times = []
-    for k in range(4):  # unique input per run (identical reruns are relay-cached)
-        perturbed = scans.at[:, :, 2].add(1e-4 * (k + 1))
-        jax.block_until_ready(perturbed)
-        t0 = time.perf_counter()
-        state, outs = pipeline.run_sequence(perturbed, cfg)
-        jax.block_until_ready(state.pose)
-        times.append(time.perf_counter() - t0)
-    return len(scans) / float(np.median(times[1:]))
+
+    @jax.jit
+    def prog(x):
+        state, outs = pipeline.run_sequence(x, cfg)
+        return state.pose[0] + jnp.sum(outs.rmse * 0)
+
+    base = _measure_fetch_overhead()
+    t = _timed_fetch(prog, (scans,), lambda a, k: (a[0].at[:, :, 2].add(1e-4 * k),), repeats=3)
+    return len(scans) / max(t - base, 1e-9)
 
 
-def bench_detect(batch: int = 8, img_size: int = 640, repeats: int = 6) -> float:
-    """YOLO detect frames/sec (jitted conv + decode + NMS)."""
+def _measure_fetch_overhead() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+
+    z = jnp.zeros(8, jnp.float32)
+    return _timed_fetch(trivial, (z,), lambda a, k: (a[0] + k,), repeats=4)
+
+
+def bench_detect(batch: int = 8, img_size: int = 640, n_calls: int = 8) -> float:
+    """YOLO detect frames/sec (jitted conv + decode + NMS), in-graph chained."""
     import jax
     import jax.numpy as jnp
 
@@ -148,15 +194,27 @@ def bench_detect(batch: int = 8, img_size: int = 640, repeats: int = 6) -> float
     det = Detector(num_classes=1, img_size=img_size)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 1, (batch, img_size, img_size, 3)), jnp.float32)
-    d = det.predict_batch(x)
-    jax.block_until_ready(d.scores)
-    times = []
-    for k in range(repeats):
-        t0 = time.perf_counter()
-        d = det.predict_batch(x + 1e-6 * (k + 1))  # unique inputs: relay caches
-        jax.block_until_ready(d.scores)
-        times.append(time.perf_counter() - t0)
-    return batch / float(np.median(times[2:]))
+    params, stats = det.params, det.batch_stats
+
+    def one(img):
+        dets, _, _ = det._predict_impl(params, stats, img, jnp.float32(0.5), jnp.float32(0.45))
+        return dets
+
+    def chain(n):
+        @jax.jit
+        def prog(img):
+            def body(_, im):
+                d = one(im)
+                # feed a scalar of the output back into the next input
+                return im + jnp.max(d.scores) * 1e-6
+            out = jax.lax.fori_loop(0, n, body, img)
+            return jnp.sum(out[0, 0, 0])
+        return prog
+
+    perturb = lambda args, k: (args[0] + 1e-6 * k,)
+    base = _timed_fetch(chain(0), (x,), perturb, repeats=3)
+    tN = _timed_fetch(chain(n_calls), (x,), perturb, repeats=3)
+    return batch * n_calls / max(tN - base, 1e-9)
 
 
 def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
@@ -177,54 +235,15 @@ def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
     )
     scans, _, _ = scans_io.load_sequence("/root/reference/Scan_data_1", 1, n_scans + 1, n_max=cfg.n_max)
     stack = jnp.asarray(np.stack([scans] * n_robots))
-    state, outs = fleet_run_sequence(stack, cfg)
-    jax.block_until_ready(state.pose)
-    times = []
-    for k in range(3):
-        perturbed = stack.at[:, :, :, 2].add(1e-4 * (k + 1))
-        jax.block_until_ready(perturbed)
-        t0 = time.perf_counter()
-        state, outs = fleet_run_sequence(perturbed, cfg)
-        jax.block_until_ready(state.pose)
-        times.append(time.perf_counter() - t0)
-    return n_robots * n_scans / float(np.median(times))
 
+    @jax.jit
+    def prog(x):
+        state, outs = fleet_run_sequence(x, cfg)
+        return jnp.sum(state.pose)
 
-def bench_single_pair(src, tgt, repeats: int = 40) -> float:
-    """B=1 registration latency in ms (the sequential-replay regime: the
-    `lax.scan` replay path runs exactly one registration at a time, so this
-    latency bounds full-replay scans/s)."""
-    import jax
-    import jax.numpy as jnp
-
-    from icp_slam_yolo_tpu.config import IcpConfig
-    from icp_slam_yolo_tpu.core.registration import icp_masked_jit
-
-    cfg = IcpConfig()
-
-    def pad(p, mult):
-        n = -(-len(p) // mult) * mult
-        out = np.zeros((n, 2), np.float32)
-        out[: len(p)] = p
-        v = np.zeros(n, bool)
-        v[: len(p)] = True
-        return jnp.asarray(out), jnp.asarray(v)
-
-    s, sv = pad(src, 8)
-    t, tv = pad(tgt, 128)
-    init = jnp.zeros(3, jnp.float32)
-    res = icp_masked_jit(s, sv, t, tv, init, cfg)
-    jax.block_until_ready(res.rmse)
-    times = []
-    ik = init
-    for k in range(max(6, repeats // 10)):
-        t0 = time.perf_counter()
-        for _ in range(10):
-            r = icp_masked_jit(s, sv, t, tv, ik, cfg)
-            ik = ik * 0 + 1e-6 * r.rmse  # unique inputs: relay caches repeats
-        jax.block_until_ready(ik)
-        times.append((time.perf_counter() - t0) / 10)
-    return float(np.median(times[2:])) * 1e3
+    base = _measure_fetch_overhead()
+    t = _timed_fetch(prog, (stack,), lambda a, k: (a[0].at[:, :, :, 2].add(1e-4 * k),), repeats=3)
+    return n_robots * n_scans / max(t - base, 1e-9)
 
 
 def main():
@@ -238,9 +257,12 @@ def main():
     src, tgt = _load_pair()
     base = bench_baseline(src, tgt)
     ours = bench_tpu(src, tgt)
-    pair_ms = bench_single_pair(src, tgt)
+    pair_ms, pair_fixed_ms = bench_single_pair(src, tgt)
 
-    secondary = {"single_pair_latency_ms": round(pair_ms, 3)}
+    secondary = {
+        "single_pair_latency_ms": round(pair_ms, 3),
+        "single_pair_fixed50_ms": round(pair_fixed_ms, 3),
+    }
     if args.all:
         seq_hz = bench_sequence()
         print(f"# full-sequence SLAM loop: {seq_hz:.1f} scans/s (reference target: 10 Hz)", file=sys.stderr)
@@ -249,7 +271,7 @@ def main():
         fleet = bench_fleet()
         print(f"# fleet SLAM (8 robots, vmapped): {fleet:.1f} scans/s total", file=sys.stderr)
         print(f"# baseline (NumPy oracle, CPU): {base:.1f} reg/s", file=sys.stderr)
-        print(f"# single-pair (B=1) latency: {pair_ms:.3f} ms", file=sys.stderr)
+        print(f"# single-pair (B=1) latency: {pair_ms:.3f} ms converged / {pair_fixed_ms:.3f} ms fixed-50", file=sys.stderr)
         secondary.update(
             sequence_scans_per_sec=round(seq_hz, 1),
             detect_fps_640=round(fps, 1),

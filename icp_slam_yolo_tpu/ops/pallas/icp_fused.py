@@ -97,7 +97,7 @@ def _nn_pass(px, py, t8_ref, live_ref, col, tile_t, n_tiles, exact):
 
         # dead tiles (all-invalid; `compact` packs valid points to the front so
         # the tail is usually dead) cost one scalar SMEM branch
-        return jax.lax.cond(live_ref[k] > 0, live, lambda c: c, carry)
+        return jax.lax.cond(live_ref[0, k] > 0, live, lambda c: c, carry)
 
     init = (
         jnp.full((s, 1), jnp.float32(_BIG)),
@@ -298,7 +298,7 @@ def icp_fused_pallas(
     )  # (3, T)
     # per-tile liveness flags, read as scalars from SMEM inside the kernel
     n_tiles = t // tile_t
-    live = jnp.max(tvf.reshape(n_tiles, tile_t), axis=1).astype(jnp.int32)
+    live = jnp.max(tvf.reshape(n_tiles, tile_t), axis=1).astype(jnp.int32).reshape(1, n_tiles)
 
     out = pl.pallas_call(
         kernel,

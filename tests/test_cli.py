@@ -34,3 +34,23 @@ def test_split_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "3 train / 2 val" in out
     assert len(os.listdir(tmp_path / "out" / "train" / "images")) == 3
+
+
+def test_train_segment_cli(tmp_path, capsys):
+    """`cli train --task segment` end-to-end on a tiny polygon dataset."""
+    src = tmp_path / "ds"
+    (src / "images").mkdir(parents=True)
+    (src / "labels").mkdir()
+    for i in range(2):
+        Image.new("RGB", (64, 64), (i * 40, 80, 120)).save(src / "images" / f"i{i}.jpg")
+        (src / "labels" / f"i{i}.txt").write_text(
+            "0 0.2 0.2 0.8 0.2 0.8 0.8 0.2 0.8\n"
+        )
+    ckpt = str(tmp_path / "seg.msgpack")
+    main(["train", str(src), "--task", "segment", "--img-size", "64",
+          "--batch-size", "2", "--steps", "2", "--max-gt", "4", "--output", ckpt])
+    assert os.path.exists(ckpt)
+    import json as _json
+
+    meta = _json.load(open(ckpt + ".json"))
+    assert meta["task"] == "segment"
