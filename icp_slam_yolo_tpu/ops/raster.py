@@ -125,34 +125,55 @@ def update_occupancy(
     body = cells.body & cell_in_win
     endpoint = cells.endpoint & cell_in_win
 
-    # frozen-probability early stop at the first blocked body cell
+    # Everything below runs on a FIXED-SIZE window slice around the robot:
+    # the reference's (possibly edge-shrunk) update window always fits inside
+    # a clamped-origin window of side `ww`, so semantics are unchanged while
+    # the update touches ~80k cells instead of the whole grid.
+    ww = min(2 * win, w)
+    wh = min(2 * win, h)
+    x1s = jnp.clip(rx - win, 0, w - ww)
+    y1s = jnp.clip(ry - win, 0, h - wh)
     pxc = jnp.clip(cells.px, 0, w - 1)
     pyc = jnp.clip(cells.py, 0, h - 1)
-    p0 = occ[pyc, pxc]
-    blocked = body & (p0 >= occ_cfg.block_threshold)
+    lx = jnp.clip(pxc - x1s, 0, ww - 1)
+    ly = jnp.clip(pyc - y1s, 0, wh - 1)
+    win_p = jax.lax.dynamic_slice(occ, (y1s, x1s), (wh, ww))
+
+    # MXU formulation of gather + scatter-add (random-access gathers/scatters
+    # are serial on TPU and dominated the whole SLAM step; profiling showed
+    # the per-sample grid gather at 1.18 ms/scan and each scatter-add at
+    # 0.6 ms).  With row/column one-hots  A[s, y] = [ly_s == y]  and
+    # B[s, x] = [lx_s == x]:
+    #   * gather of a BINARY grid:  G[ly_s, lx_s] = sum_yx A[s,y] G[y,x] B[s,x]
+    #     (einsum; exact in bf16 because every product is 0 or 1),
+    #   * scatter-add of a 0/1 mask m:  count[y, x] = sum_s m_s A[s,y] B[s,x]
+    #     = (A*m)^T @ B  (integer counts, exact in f32 accumulation).
+    # Both map onto dense MXU matmuls; the early-stop test only ever needs the
+    # binary `p >= block_threshold` grid, never the probabilities themselves,
+    # which is what makes the bf16 lookup exact.
     k = occ_cfg.max_ray_px
+    ly_f = ly.reshape(-1)
+    lx_f = lx.reshape(-1)
+    a_hot = (ly_f[:, None] == jnp.arange(wh, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    b_hot = (lx_f[:, None] == jnp.arange(ww, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+
+    # frozen-probability early stop at the first blocked body cell
+    blocked_grid = (win_p >= occ_cfg.block_threshold).astype(jnp.bfloat16)
+    rows = jnp.dot(a_hot, blocked_grid, preferred_element_type=jnp.float32)  # (S, WW)
+    blocked_s = jnp.sum(rows * b_hot.astype(jnp.float32), axis=1)
+    blocked = body & (blocked_s.reshape(body.shape) > 0.5)
     i = jnp.arange(k, dtype=jnp.int32)[None, :]
     first_block = jnp.min(jnp.where(blocked, i, k), axis=1, keepdims=True)
     body = body & (i < first_block)
     endpoint = endpoint & (first_block == k)
 
-    # scatter + probability update restricted to a FIXED-SIZE window slice:
-    # the reference's (possibly edge-shrunk) update window always fits inside
-    # a clamped-origin window of side `ww`, so semantics are unchanged while
-    # the elementwise update touches ~80k cells instead of the whole grid.
-    ww = min(2 * win, w)
-    wh = min(2 * win, h)
-    x1s = jnp.clip(rx - win, 0, w - ww)
-    y1s = jnp.clip(ry - win, 0, h - wh)
-    lx = jnp.clip(pxc - x1s, 0, ww - 1)
-    ly = jnp.clip(pyc - y1s, 0, wh - 1)
-    flat = (ly * ww + lx).reshape(-1)
-    free_n = jnp.zeros(wh * ww, jnp.float32).at[flat].add(body.reshape(-1).astype(jnp.float32))
-    occ_n = jnp.zeros(wh * ww, jnp.float32).at[flat].add(endpoint.reshape(-1).astype(jnp.float32))
+    bodyf = body.reshape(-1, 1).astype(jnp.bfloat16)
+    endf = endpoint.reshape(-1, 1).astype(jnp.bfloat16)
+    free_n = jnp.dot((a_hot * bodyf).T, b_hot, preferred_element_type=jnp.float32)
+    occ_n = jnp.dot((a_hot * endf).T, b_hot, preferred_element_type=jnp.float32)
 
-    win_p = jax.lax.dynamic_slice(occ, (y1s, x1s), (wh, ww))
-    win_p = win_p * jnp.power(jnp.float32(occ_cfg.p_free_decay), free_n.reshape(wh, ww))
-    win_p = jnp.minimum(1.0, win_p + occ_cfg.p_occ_inc * occ_n.reshape(wh, ww))
+    win_p = win_p * jnp.power(jnp.float32(occ_cfg.p_free_decay), free_n)
+    win_p = jnp.minimum(1.0, win_p + occ_cfg.p_occ_inc * occ_n)
     return jax.lax.dynamic_update_slice(occ, win_p, (y1s, x1s))
 
 
@@ -166,9 +187,19 @@ def occupancy_keep_mask(
     """Keep-mask for `filter_new_points_by_occupancy` / `prune_global_map`
     (`process.py:203-249`): drop points whose cell is confidently free
     (``p < free_threshold``); out-of-bounds points are kept.
+
+    The per-point grid lookup only needs the BINARY ``p >= free_threshold``
+    grid, so it runs as a one-hot bilinear on the MXU (exact in bf16; random
+    gathers are serial on TPU and this was 0.2 ms x2 per SLAM step).
     """
     h, w = occ.shape
     px, py = world_to_px(points_xy, map_cfg)
     oob = (px < 0) | (px >= w) | (py < 0) | (py >= h)
-    p = occ[jnp.clip(py, 0, h - 1), jnp.clip(px, 0, w - 1)]
-    return valid & (oob | (p >= free_threshold))
+    pyc = jnp.clip(py, 0, h - 1)
+    pxc = jnp.clip(px, 0, w - 1)
+    keep_grid = (occ >= free_threshold).astype(jnp.bfloat16)
+    a_hot = (pyc[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    b_hot = (pxc[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    rows = jnp.dot(a_hot, keep_grid, preferred_element_type=jnp.bfloat16)  # (N, W), 0/1
+    kept = jnp.sum(rows * b_hot, axis=1)  # exactly one nonzero term per row
+    return valid & (oob | (kept > 0.5))
