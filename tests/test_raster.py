@@ -85,3 +85,31 @@ def test_occupancy_keep_mask():
     pts = jnp.asarray([[3000.0, 0.0], [0.0, 3000.0], [10**6, 0.0]], jnp.float32)
     keep = occupancy_keep_mask(pts, jnp.ones(3, bool), occ, mc, 0.2)
     assert list(np.asarray(keep)) == [False, True, True]  # free cell dropped, OOB kept
+
+
+def test_update_occupancy_at_map_border(scan_pair):
+    """Robot near the map corner: the clamped-origin window and edge-shrunk
+    reference window must still agree (exercises the one-hot matmul paths
+    with clipped sample coordinates)."""
+    from icp_slam_yolo_tpu.config import OFFLINE_GATE
+
+    mc, oc = MapConfig(), OccupancyConfig()
+    pts = oracle.polar_gate(scan_pair[0], OFFLINE_GATE)
+    # place the robot ~10 px from the top-left map corner (world coords)
+    corner = np.array(
+        [-(mc.width_mm / 2) + 10 * mc.resolution_mm_per_px,
+         (mc.height_mm / 2) - 10 * mc.resolution_mm_per_px])
+    pts_c = pts * 0.2 + corner  # shrink the scan so some endpoints stay in-map
+    occ0 = np.full((mc.height_px, mc.width_px), 0.5, np.float64)
+    ref = oracle.update_occupancy(occ0, pts_c, corner, mc, oc)
+
+    n = 512
+    xy = np.zeros((n, 2), np.float32)
+    xy[: len(pts_c)] = pts_c
+    valid = np.zeros(n, bool)
+    valid[: len(pts_c)] = True
+    ours = update_occupancy(
+        jnp.full((mc.height_px, mc.width_px), 0.5, jnp.float32),
+        jnp.asarray(xy), jnp.asarray(valid), jnp.asarray(corner, jnp.float32), mc, oc,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
