@@ -76,6 +76,17 @@ def se2_compose(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.array([xy[0], xy[1], a[2] + b[2]], dtype=a.dtype)
 
 
+def se2_extrapolate(pose: jnp.ndarray, prev_pose: jnp.ndarray) -> jnp.ndarray:
+    """Constant-velocity prediction: replay the last inter-scan motion once
+    more.  ``delta = pose ∘ prev_pose⁻¹`` (the world-frame step from the
+    previous pose to the current one), prediction ``delta ∘ pose``.  With
+    ``prev_pose == pose`` (start-up, or after a rejected scan) this is the
+    identity extrapolation — the plain current-pose init the reference uses
+    (`gicp_lidar.py:29` init = current global pose)."""
+    delta = se2_compose(pose, se2_inverse(prev_pose))
+    return se2_compose(delta, pose)
+
+
 def se2_inverse(pose: jnp.ndarray) -> jnp.ndarray:
     c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
     x, y = pose[0], pose[1]

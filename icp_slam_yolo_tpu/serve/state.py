@@ -264,6 +264,7 @@ class ServerState:
         cfg = self.cfg
         return pl.SlamState(
             pose=jnp.zeros(3, jnp.float32),
+            prev_pose=jnp.zeros(3, jnp.float32),
             map_xy=jnp.zeros((cfg.map_capacity, 2), jnp.float32),
             map_valid=jnp.zeros(cfg.map_capacity, bool),
             occ=jnp.full((cfg.map.height_px, cfg.map.width_px), 0.5, jnp.float32),

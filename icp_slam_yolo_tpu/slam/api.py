@@ -116,4 +116,8 @@ class Slam:
         import jax.numpy as jnp
 
         data = np.load(path if path.endswith(".npz") else path + ".npz")
-        self.state = pipeline.SlamState(**{k: jnp.asarray(data[k]) for k in data.files})
+        fields = {k: jnp.asarray(data[k]) for k in data.files}
+        # checkpoints written before the motion-model field default to the
+        # static init (prev_pose == pose)
+        fields.setdefault("prev_pose", fields["pose"])
+        self.state = pipeline.SlamState(**fields)

@@ -36,6 +36,9 @@ from icp_slam_yolo_tpu.ops.voxel import compact, voxel_downsample
 
 class SlamState(NamedTuple):
     pose: jnp.ndarray       # (3,) SE(2) global pose
+    prev_pose: jnp.ndarray  # (3,) pose before the last processed scan (drives
+    # the optional constant-velocity ICP init; equals `pose` at start-up and
+    # after rejected scans, which degrades to the reference's static init)
     map_xy: jnp.ndarray     # (CAP, 2) float32 global map points (mm)
     map_valid: jnp.ndarray  # (CAP,) bool
     occ: jnp.ndarray        # (H, W) float32 occupancy probabilities
@@ -65,6 +68,7 @@ def init_state(first_scan: jnp.ndarray, cfg: SlamConfig = SlamConfig()) -> SlamS
     occ = update_occupancy(occ, xy, valid, jnp.zeros(2, jnp.float32), cfg.map, cfg.occupancy)
     return SlamState(
         pose=geo.se2_identity(),
+        prev_pose=geo.se2_identity(),
         map_xy=map_xy,
         map_valid=map_valid,
         occ=occ,
@@ -104,7 +108,12 @@ def make_step(cfg: SlamConfig = SlamConfig()):
 
         # the reference downsamples the scan before GICP (`gicp_lidar.py:20`)
         ds_xy, ds_valid = voxel_downsample(xy, valid, cfg.icp.voxel_size_mm)
-        res = icp_masked(ds_xy, ds_valid, tgt_xy, tgt_valid, state.pose, cfg.icp)
+        # init: the reference uses the static current pose (`gicp_lidar.py:29`);
+        # the optional motion model extrapolates the last inter-scan step
+        init_pose = (
+            geo.se2_extrapolate(state.pose, state.prev_pose) if cfg.motion_model else state.pose
+        )
+        res = icp_masked(ds_xy, ds_valid, tgt_xy, tgt_valid, init_pose, cfg.icp)
         accepted = enough & (res.rmse <= cfg.icp.max_rmse)
 
         if cfg.icp.rescue_estimator:
@@ -121,7 +130,7 @@ def make_step(cfg: SlamConfig = SlamConfig()):
             res = jax.lax.cond(
                 accepted,
                 lambda _: res,
-                lambda _: icp_masked(ds_xy, ds_valid, tgt_xy, tgt_valid, state.pose, rescue_cfg),
+                lambda _: icp_masked(ds_xy, ds_valid, tgt_xy, tgt_valid, init_pose, rescue_cfg),
                 None,
             )
             accepted = enough & (res.rmse <= cfg.icp.max_rmse)
@@ -155,6 +164,7 @@ def make_step(cfg: SlamConfig = SlamConfig()):
 
             return SlamState(
                 pose=pose,
+                prev_pose=state.pose,
                 map_xy=map_xy,
                 map_valid=map_valid,
                 occ=occ,
@@ -166,7 +176,7 @@ def make_step(cfg: SlamConfig = SlamConfig()):
 
         def no_update(op):
             state, _ = op
-            return state._replace(step=state.step + 1)
+            return state._replace(step=state.step + 1, prev_pose=state.pose)
 
         if cfg.localization_only:
             # pose tracking against a frozen map (`update_mode=0`)
@@ -174,6 +184,7 @@ def make_step(cfg: SlamConfig = SlamConfig()):
             cur_xy = geo.se2_apply(pose, xy)
             new_state = state._replace(
                 pose=pose,
+                prev_pose=state.pose,
                 prev_xy=jnp.where(accepted, cur_xy, state.prev_xy),
                 prev_valid=jnp.where(accepted, valid, state.prev_valid),
                 step=state.step + 1,
@@ -236,6 +247,7 @@ def _realtime_update(state: SlamState, xy, valid, res, accepted, cfg: SlamConfig
 
     return SlamState(
         pose=pose,
+        prev_pose=state.pose,
         map_xy=map_xy,
         map_valid=map_valid,
         occ=occ,

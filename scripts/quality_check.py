@@ -15,10 +15,10 @@ import time
 
 import numpy as np
 
-# gates set ~5% below the measured round-1 results
+# gates set ~5% below the measured results
 GATES = {
-    "offline": {"min_accept_rate": 0.94, "max_median_rmse": 25.0},   # measured 0.993 / 20.9
-    "realtime": {"min_accept_rate": 0.90, "max_median_rmse": 25.0},  # measured 0.954 / 18.8
+    "offline": {"min_accept_rate": 0.94, "max_median_rmse": 25.0},   # measured 0.995 / 20.6 (r2)
+    "realtime": {"min_accept_rate": 0.94, "max_median_rmse": 25.0},  # measured 0.996 / 18.3 (r2, GICP rescue default)
 }
 
 
@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--estimator", default=None, help="override IcpConfig.estimator (A/B runs)")
     ap.add_argument("--rescue", default=None, help="override IcpConfig.rescue_estimator")
     ap.add_argument("--gicp-epsilon", type=float, default=None)
+    ap.add_argument("--motion-model", action="store_true", help="constant-velocity ICP init")
     ap.add_argument("--modes", default="offline,realtime")
     ap.add_argument("--end", type=int, default=1801)
     args = ap.parse_args()
@@ -53,6 +54,8 @@ def main():
             if args.gicp_epsilon is not None:
                 kw["gicp_epsilon"] = args.gicp_epsilon
             cfg = cfg.replace(icp=dataclasses.replace(cfg.icp, **kw))
+        if args.motion_model:
+            cfg = cfg.replace(motion_model=True)
         eng = slam.Slam(cfg)
         t0 = time.time()
         _, outs = eng.run(scans)

@@ -75,3 +75,21 @@ def test_se2_compose_matches_matmul(rng):
     ab = geo.se2_compose(a, b)
     m = np.asarray(geo.se2_to_mat44(a)) @ np.asarray(geo.se2_to_mat44(b))
     np.testing.assert_allclose(np.asarray(geo.se2_to_mat44(ab)), m, atol=1e-4)
+
+
+def test_se2_extrapolate():
+    from icp_slam_yolo_tpu.ops.geometry import se2_compose, se2_extrapolate, se2_inverse
+
+    prev = jnp.asarray([0.0, 0.0, 0.0])
+    pose = jnp.asarray([10.0, 0.0, 0.1])
+    pred = se2_extrapolate(pose, prev)
+    # manual: delta = pose o prev^-1 = pose; pred = pose o pose
+    manual = se2_compose(pose, pose)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(manual), atol=1e-5)
+    # stationary robot: prediction degenerates to the static init
+    same = se2_extrapolate(pose, pose)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(pose), atol=1e-5)
+    # inverse round-trip sanity
+    np.testing.assert_allclose(
+        np.asarray(se2_compose(pose, se2_inverse(pose))), [0, 0, 0], atol=1e-5
+    )
