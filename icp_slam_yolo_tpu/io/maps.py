@@ -75,17 +75,54 @@ def save_pcd(points: np.ndarray, path: str) -> None:
 
 
 def load_pcd(path: str) -> np.ndarray:
-    """Minimal ASCII PCD reader (xyz)."""
-    pts = []
-    with open(path) as f:
-        data = False
-        for line in f:
-            if data:
-                vals = line.split()
-                if len(vals) >= 3:
-                    pts.append([float(vals[0]), float(vals[1]), float(vals[2])])
-            elif line.startswith("DATA"):
-                if "ascii" not in line:
-                    raise ValueError("only ascii PCD supported")
-                data = True
-    return np.asarray(pts, dtype=np.float32)
+    """PCD v0.7 reader (xyz), ASCII and binary.
+
+    Open3D's `write_point_cloud` — the reference's writer
+    (`slam_offline.py:446-455`, artifact `global_map_offline.pcd`) — emits
+    ``DATA binary`` (packed little-endian fields per point), so both layouts
+    are required for a reference user's saved maps to load here.
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    # the header is ASCII lines up to and including the DATA line
+    end = raw.index(b"DATA")
+    nl = raw.index(b"\n", end)
+    header_lines = raw[:nl].decode("ascii", "replace").splitlines()
+    fields, sizes, types, counts, n_points = [], [], [], [], 0
+    mode = raw[end:nl].split()[1].decode()
+    for line in header_lines:
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "FIELDS":
+            fields = parts[1:]
+        elif parts[0] == "SIZE":
+            sizes = [int(v) for v in parts[1:]]
+        elif parts[0] == "TYPE":
+            types = parts[1:]
+        elif parts[0] == "COUNT":
+            counts = [int(v) for v in parts[1:]]
+        elif parts[0] == "POINTS":
+            n_points = int(parts[1])
+    counts = counts or [1] * len(fields)
+
+    if mode == "ascii":
+        pts = []
+        for line in raw[nl + 1 :].decode("ascii", "replace").splitlines():
+            vals = line.split()
+            if len(vals) >= 3:
+                pts.append([float(vals[0]), float(vals[1]), float(vals[2])])
+        return np.asarray(pts, dtype=np.float32)
+    if mode != "binary":
+        raise ValueError(f"unsupported PCD DATA mode: {mode}")
+
+    kind = {"F": "f", "U": "u", "I": "i"}
+    dtype = np.dtype(
+        [
+            (name if c == 1 else f"{name}", f"<{kind[t]}{s}", (c,) if c > 1 else ())
+            for name, s, t, c in zip(fields, sizes, types, counts)
+        ]
+    )
+    rec = np.frombuffer(raw[nl + 1 :], dtype=dtype, count=n_points)
+    cols = [rec[a].astype(np.float32).reshape(n_points) for a in ("x", "y", "z") if a in fields]
+    return np.stack(cols, axis=1)

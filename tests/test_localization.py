@@ -52,3 +52,38 @@ def test_state_checkpoint_resume(scan_sequence, tmp_path):
     out_b = eng2.add_scan(raw[10])
     np.testing.assert_allclose(out_a["pose"], out_b["pose"], atol=1e-4)
     assert out_a["accepted"] == out_b["accepted"]
+
+
+def test_load_reference_binary_pcd():
+    """Open3D (the reference's writer) emits DATA binary; the reference's own
+    saved artifact must load (`slam_offline.py:446-455` output)."""
+    import os
+
+    import pytest
+
+    from icp_slam_yolo_tpu.io.maps import load_pcd
+
+    path = "/root/reference/global_map_offline.pcd"
+    if not os.path.exists(path):
+        pytest.skip("reference artifact unavailable")
+    pts = np.asarray(load_pcd(path))
+    assert pts.shape == (11283, 3)
+    assert np.isfinite(pts).all()
+    # mm-scale arena coordinates
+    assert 1000 < np.abs(pts[:, :2]).max() < 50000
+
+
+def test_motion_model_step_runs():
+    """Constant-velocity init: the realtime default config (motion_model=True,
+    GICP rescue) compiles and tracks on a short prefix."""
+    import icp_slam_yolo_tpu as slam
+
+    cfg = slam.REALTIME_CONFIG.replace(map_capacity=2048)
+    scans, _, _ = scans_io.load_sequence(
+        "/root/reference/Scan_data_1", 1, 21, n_max=cfg.n_max
+    )
+    eng = slam.Slam(cfg)
+    state, outs = eng.run(scans)
+    acc = np.asarray(outs.accepted)
+    assert acc.mean() > 0.7
+    assert np.isfinite(np.asarray(state.pose)).all()
