@@ -297,6 +297,11 @@ def main():
                 "unit": "reg/s",
                 "vs_baseline": round(ours / base, 1),
                 "secondary": secondary,
+                # round 1 measured dispatch rate (block_until_ready does not
+                # wait for device execution behind the async TPU relay); from
+                # round 2 on, numbers are true device throughput via in-graph
+                # chained calls + host fetch.  NOT comparable to BENCH_r01.
+                "protocol": "in-graph-chain-v2",
             }
         )
     )
