@@ -112,10 +112,12 @@ def cmd_train(args):
     state, history = fit(model, iter(ds), args.img_size, steps)
     if args.output:
         from icp_slam_yolo_tpu.io.checkpoint import save_checkpoint
+        from icp_slam_yolo_tpu.models.train import write_results_csv
 
         save_checkpoint(args.output, state.params, state.batch_stats,
                         meta={"img_size": args.img_size, "num_classes": args.num_classes,
                               "variant": args.variant, "task": args.task})
+        write_results_csv(history, args.output + ".results.csv")
         print(f"saved checkpoint to {args.output}")
 
 

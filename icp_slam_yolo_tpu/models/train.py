@@ -133,10 +133,24 @@ def fit(
         batch = {k: jnp.asarray(v) for k, v in next(dataset_iter).items()}
         state, metrics = step_fn(state, batch)
         if (i + 1) % log_every == 0 or i == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+            m = {"step": i + 1, **{k: float(v) for k, v in metrics.items()}}
             history.append(m)
-            print(f"step {i + 1}/{steps}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+            print(f"step {i + 1}/{steps}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in m.items() if k != "step"))
     return state, history
+
+
+def write_results_csv(history: list[dict], path: str) -> None:
+    """Training-curve CSV (the reference ships Ultralytics `results.csv`
+    per run, `train2/results.csv`): one row per logged step, columns unioned
+    across the history."""
+    import csv
+
+    cols = sorted({k for row in history for k in row}, key=lambda k: (k != "step", k))
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        w.writerows(history)
 
 
 # --- multi-chip dry run (called from __graft_entry__.dryrun_multichip) -------

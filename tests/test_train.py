@@ -81,3 +81,14 @@ def test_reference_dataset_loads():
     assert batch["valid"].any()
     v = batch["valid"]
     assert (batch["boxes"][v][:, 2] > batch["boxes"][v][:, 0]).all()
+
+
+def test_write_results_csv(tmp_path):
+    from icp_slam_yolo_tpu.models.train import write_results_csv
+
+    hist = [{"step": 1, "loss": 5.0}, {"step": 50, "loss": 2.5, "loss_box": 0.1}]
+    p = str(tmp_path / "results.csv")
+    write_results_csv(hist, p)
+    lines = open(p).read().strip().splitlines()
+    assert lines[0].startswith("step,")
+    assert lines[1].startswith("1,") and len(lines) == 3
