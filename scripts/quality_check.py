@@ -34,10 +34,14 @@ def main():
     ap.add_argument("--gicp-epsilon", type=float, default=None)
     ap.add_argument("--motion-model", action="store_true", help="constant-velocity ICP init")
     ap.add_argument("--modes", default="offline,realtime")
+    ap.add_argument("--data", default="/root/reference/Scan_data_1")
+    ap.add_argument("--start", type=int, default=1)
+    ap.add_argument("--no-gates", action="store_true",
+                    help="report only (for datasets without calibrated gates)")
     ap.add_argument("--end", type=int, default=1801)
     args = ap.parse_args()
 
-    scans, _, _ = scans_io.load_sequence("/root/reference/Scan_data_1", 1, args.end, n_max=512)
+    scans, _, _ = scans_io.load_sequence(args.data, args.start, args.end, n_max=512)
     results = {}
     failed = False
     all_cfgs = {"offline": slam.OFFLINE_CONFIG, "realtime": slam.REALTIME_CONFIG}
@@ -69,7 +73,7 @@ def main():
             "map_points": int(len(eng.map_points())),
             "seconds": round(dt, 1),
         }
-        g = GATES[mode]
+        g = GATES[mode] if not args.no_gates else {"min_accept_rate": 0.0, "max_median_rmse": 1e9}
         res["pass"] = (
             res["accept_rate"] >= g["min_accept_rate"]
             and res["median_rmse_mm"] <= g["max_median_rmse"]
