@@ -27,11 +27,11 @@ import time
 def cmd_replay(args):
     import numpy as np
 
-    from icp_slam_yolo_tpu.config import OFFLINE_CONFIG
+    from icp_slam_yolo_tpu.config import PRESETS
     from icp_slam_yolo_tpu.io import scans as scans_io
     from icp_slam_yolo_tpu.slam.api import Slam
 
-    cfg = OFFLINE_CONFIG.replace(map_capacity=args.map_capacity)
+    cfg = PRESETS[args.preset].replace(map_capacity=args.map_capacity)
     scans, counts, paths = scans_io.load_sequence(args.scan_dir, args.start, args.end, cfg.n_max)
     print(f"loaded {len(paths)} scans from {args.scan_dir}")
     eng = Slam(cfg)
@@ -53,11 +53,12 @@ def cmd_replay(args):
 
 
 def cmd_serve(args):
-    from icp_slam_yolo_tpu.config import OFFLINE_CONFIG
+    from icp_slam_yolo_tpu.config import PRESETS
     from icp_slam_yolo_tpu.serve.app import serve
     from icp_slam_yolo_tpu.serve.state import ServerState
 
-    state = ServerState(OFFLINE_CONFIG.replace(map_capacity=args.map_capacity), work_dir=args.work_dir)
+    cfg = PRESETS[args.preset].replace(map_capacity=args.map_capacity)
+    state = ServerState(cfg, work_dir=args.work_dir)
     detector = None
     if args.weights and args.camera_dir:
         # the fused perception loop: trigger-gated stereo detect -> pallet
@@ -250,6 +251,8 @@ def main(argv=None):
     r.add_argument("--end", type=int, default=None)
     r.add_argument("--output", default="global_map_offline")
     r.add_argument("--map-capacity", type=int, default=8192)
+    r.add_argument("--preset", default="offline",
+                   choices=["offline", "realtime", "realtime_b", "realtime_1", "realtime_2"])
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("serve", help="HTTP control panel")
@@ -263,6 +266,8 @@ def main(argv=None):
     s.add_argument("--map-capacity", type=int, default=8192)
     s.add_argument("--weights", default=None, help="detector checkpoint for the fused loop")
     s.add_argument("--camera-dir", default=None, help="stereo frame source (anh_1_*/anh_2_*)")
+    s.add_argument("--preset", default="offline", choices=["offline", "realtime", "realtime_b", "realtime_1", "realtime_2"],
+                   help="config preset (the reference's per-script realtime mains)")
     s.add_argument("--bf16", action="store_true",
                    help="bfloat16 detector compute (MXU-native; val mAP50-95 0.998 vs 0.996 f32)")
     s.set_defaults(fn=cmd_serve)

@@ -208,6 +208,16 @@ REALTIME_1_CONFIG = REALTIME_CONFIG.replace(
 )
 REALTIME_2_CONFIG = REALTIME_CONFIG  # `realtime_2.py` uses the 30 m @ 30 mm geometry
 
+# Named preset registry (the reference's per-script constant blocks;
+# SURVEY.md section 2.3) — `cli replay/serve --preset` look configs up here.
+PRESETS = {
+    "offline": OFFLINE_CONFIG,
+    "realtime": REALTIME_CONFIG,
+    "realtime_b": REALTIME_B_CONFIG,      # `duc/code python/b.py`
+    "realtime_1": REALTIME_1_CONFIG,      # `realtime_1.py`
+    "realtime_2": REALTIME_2_CONFIG,      # `realtime_2.py`
+}
+
 # Stereo camera intrinsics (reference `Config.py:27-30`).
 STEREO_F = 381.0
 STEREO_CX = 320.0
