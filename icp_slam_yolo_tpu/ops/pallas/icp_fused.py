@@ -17,10 +17,17 @@ squared distance the Gram form folds away).  Ties are broken to the first
 column within a tile and the first tile across tiles.  Because
 the Gram form cancels catastrophically at arena scale (|t|^2 ~ 2e8 mm^2), the
 gating/RMSE distance is recomputed exactly from the matched coordinates on the
-cheap (S, 1) column.  Per-tile liveness (entirely-invalid tiles, common since
-`compact` packs valid points to the front) is precomputed on the host into an
-SMEM flag vector: skipping a dead tile costs one scalar branch, not a (1, T)
-vector reduce per iteration.
+cheap per-row column.
+
+Dead work is skipped at two granularities, both via host-precomputed SMEM
+flags costing one scalar branch each:
+  * target tiles with no valid point (`compact` packs valid map points to the
+    front, so tail tiles are dead), and
+  * SOURCE ROW BLOCKS with no valid scan point — `voxel_downsample` also packs
+    its output, so a 512-slot scan buffer holding ~270 live points skips ~40%
+    of the sweep.  The Kabsch moments accumulate block-by-block (a dead
+    block's weights would be all-zero anyway), which also removes the (S, 1)
+    correspondence carries entirely.
 
 Correspondence coordinates are extracted with a select-and-reduce per target
 tile (no dynamic gather, which Mosaic lowers poorly); moments are centred
@@ -42,49 +49,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e30
+_ROW_BLOCK = 64  # source rows per liveness-skippable block (multiple of 8)
 
 
-def _nn_pass(px, py, t8_ref, live_ref, col, tile_t, n_tiles, exact):
-    """One full NN sweep in Gram form.
+def _nn_pass(px, py, t8_ref, live_ref, col, tile_t, n_tiles, skip_dead):
+    """One full NN sweep in Gram form over one source row block.
 
-    Returns ``(exact d2 (S,1), matched x (S,1), matched y (S,1))``.
-
-    Ties in the f32 Gram value are a real hazard: g is quantised at
-    ~1e-7 * |t|^2 (tens of mm^2 at arena scale), so *spatially distant* points
-    at similar range can round to the same g, and averaging their coordinates
-    would fabricate a midpoint that is not a map point at all.  Two modes:
-
-    * ``exact=True``: first-minimum one-hot via an iota argmin — exactly one
-      column wins.  Used for the final RMSE pass (the reported metric must
-      match the oracle's definition).
-    * ``exact=False``: sum the tied columns and *drop the row* (d2 -> BIG)
-      when more than one column tied.  ~3 VPU ops/element cheaper than the
-      iota path, but NOT used in the iteration loop: the dropped set changes
-      from iteration to iteration, which perturbs the mean-error signal far
-      more than the 1e-5 convergence tolerance — the freeze never fires and
-      every registration runs to max_iterations (measured: 50 instead of 22
-      on the golden pair, a net loss despite the cheaper sweep).  Kept for
-      callers that want a cheap approximate pass.
+    Returns ``(exact d2 (R,1), matched x (R,1), matched y (R,1))``.  Ties in
+    the f32 Gram value are a real hazard: g is quantised at ~1e-7 * |t|^2, so
+    *spatially distant* points at similar range can round to the same g, and
+    averaging their coordinates would fabricate a midpoint that is not a map
+    point at all — the iota argmin keeps exactly one (first) column.
     """
-    s = px.shape[0]
+    r = px.shape[0]
     sentinel = jnp.int32(tile_t)
     zero = jnp.float32(0.0)
 
     def tbody(k, carry):
         def live(carry):
-            min_g, mx_acc, my_acc, cnt_acc = carry
+            min_g, mx_acc, my_acc = carry
             r0 = t8_ref[0:1, pl.ds(k * tile_t, tile_t)]  # -2*tx
             r1 = t8_ref[1:2, pl.ds(k * tile_t, tile_t)]  # -2*ty
             r2 = t8_ref[2:3, pl.ds(k * tile_t, tile_t)]  # |t|^2 (+BIG if invalid)
             g = px * r0 + py * r1 + r2  # d2 - |p|^2, row-constant offset
             tmin = jnp.min(g, axis=1, keepdims=True)
-            if exact:
-                arg = jnp.min(jnp.where(g <= tmin, col, sentinel), axis=1, keepdims=True)
-                one = col == arg  # exactly one column per row (first minimum)
-                cnt_t = cnt_acc  # placeholder; count is 1 by construction
-            else:
-                one = g <= tmin
-                cnt_t = jnp.sum(jnp.where(one, 1.0, zero), axis=1, keepdims=True)
+            arg = jnp.min(jnp.where(g <= tmin, col, sentinel), axis=1, keepdims=True)
+            one = col == arg  # exactly one column per row (first minimum)
             mx_t = jnp.sum(jnp.where(one, r0, zero), axis=1, keepdims=True)
             my_t = jnp.sum(jnp.where(one, r1, zero), axis=1, keepdims=True)
             better = tmin < min_g
@@ -92,81 +82,102 @@ def _nn_pass(px, py, t8_ref, live_ref, col, tile_t, n_tiles, exact):
                 jnp.where(better, tmin, min_g),
                 jnp.where(better, mx_t, mx_acc),
                 jnp.where(better, my_t, my_acc),
-                cnt_acc if exact else jnp.where(better, cnt_t, cnt_acc),
             )
 
-        # dead tiles (all-invalid; `compact` packs valid points to the front so
-        # the tail is usually dead) cost one scalar SMEM branch
+        if not skip_dead:
+            return live(carry)
+        # dead tiles cost one scalar SMEM branch
         return jax.lax.cond(live_ref[0, k] > 0, live, lambda c: c, carry)
 
     init = (
-        jnp.full((s, 1), jnp.float32(_BIG)),
-        jnp.zeros((s, 1), jnp.float32),
-        jnp.zeros((s, 1), jnp.float32),
-        jnp.ones((s, 1), jnp.float32),
+        jnp.full((r, 1), jnp.float32(_BIG)),
+        jnp.zeros((r, 1), jnp.float32),
+        jnp.zeros((r, 1), jnp.float32),
     )
-    min_g, mx_acc, my_acc, cnt = jax.lax.fori_loop(0, n_tiles, tbody, init)
+    min_g, mx_acc, my_acc = jax.lax.fori_loop(0, n_tiles, tbody, init)
     mx = mx_acc * jnp.float32(-0.5)  # undo the -2 folded into t8 rows 0/1
     my = my_acc * jnp.float32(-0.5)
     # exact distance to the matched point: the Gram value min_g + |p|^2 loses
     # ~6 digits to cancellation at |p| ~ 1e4 mm, the direct form loses none
     dx = px - mx
     dy = py - my
-    ok = min_g < jnp.float32(_BIG)
-    if not exact:
-        ok = jnp.logical_and(ok, cnt == 1.0)
-    d2 = jnp.where(ok, dx * dx + dy * dy, jnp.float32(_BIG))
+    d2 = jnp.where(min_g < jnp.float32(_BIG), dx * dx + dy * dy, jnp.float32(_BIG))
     return d2, mx, my
 
 
 def _icp_kernel(
-    src_ref, src_valid_ref, t8_ref, live_ref, params_ref, out_ref,
+    src_ref, src_valid_ref, t8_ref, live_ref, rb_live_ref, params_ref, out_ref,
     *, tile_t: int, iters: int, thr2: float, tol: float, early_exit: bool,
+    skip_dead: bool,
 ):
     s = src_ref.shape[0]
     n_tiles = t8_ref.shape[1] // tile_t
-    col = jax.lax.broadcasted_iota(jnp.int32, (s, tile_t), 1)
-
-    sx = src_ref[:, 0:1]
-    sy = src_ref[:, 1:2]
-    sv = src_valid_ref[:, 0:1]
-
-    def apply_pose(cth, sth, px_, py_):
-        return cth * sx - sth * sy + px_, sth * sx + cth * sy + py_
+    # liveness skipping only pays in the sequential regime: under vmap,
+    # lax.cond lowers to select (both branches execute), so the per-tile and
+    # per-row-block branches are pure overhead there — batched callers get
+    # straight-line code over the full buffers instead.
+    if skip_dead:
+        blocks = [(b, i, min(_ROW_BLOCK, s - i)) for b, i in enumerate(range(0, s, _ROW_BLOCK))]
+    else:
+        blocks = [(0, 0, s)]
+    cols_iota = {
+        size: jax.lax.broadcasted_iota(jnp.int32, (size, tile_t), 1)
+        for _, _, size in blocks
+    }
 
     # Mosaic has no atan2 lowering, so the rotation is carried as (cos, sin):
     # the Kabsch solve only ever needs cos/sin of the update angle, which are
     # exactly sxx/r and sxy/r with r = hypot(sxx, sxy).  The caller converts
     # back to an angle with one atan2 outside the kernel.
-    ones_row = jnp.ones((1, s), jnp.float32)
+
+    def block_correspond(start, size, cth, sth, ptx, pty):
+        """Transform + NN for one row block; returns (px, py, w, d2, mx, my)."""
+        sx = src_ref[start : start + size, 0:1]
+        sy = src_ref[start : start + size, 1:2]
+        sv = src_valid_ref[start : start + size, 0:1]
+        px = cth * sx - sth * sy + ptx
+        py = sth * sx + cth * sy + pty
+        d2, mx, my = _nn_pass(px, py, t8_ref, live_ref, cols_iota[size], tile_t, n_tiles, skip_dead)
+        w = sv * (d2 < thr2).astype(jnp.float32)
+        return px, py, w, d2, mx, my
 
     def iter_body(_, carry):
         cth, sth, ptx, pty, prev_err, done, iters_done = carry
-        px, py = apply_pose(cth, sth, ptx, pty)
-        d2, mx, my = _nn_pass(px, py, t8_ref, live_ref, col, tile_t, n_tiles, exact=True)
-        w = sv * (d2 < thr2).astype(jnp.float32)  # (S,1)
 
-        # all eight moment sums in ONE MXU reduction — a dozen separate
-        # scalar reductions per iteration dominated the kernel otherwise.
+        # all eight moment sums per block in ONE MXU reduction, accumulated
+        # across live blocks (dead blocks would contribute zero weight).
         # Uncentred moments in metres + centring correction (numerically fine
         # at arena scale; see module doc).
-        px_m, py_m, mx_m, my_m = px * 1e-3, py * 1e-3, mx * 1e-3, my * 1e-3
-        cols = jnp.concatenate(
-            [
-                w,
-                w * px_m, w * py_m, w * mx_m, w * my_m,
-                w * (px_m * mx_m + py_m * my_m),
-                w * (px_m * my_m - py_m * mx_m),
-                w * jnp.sqrt(d2),
-            ],
-            axis=1,
-        )  # (S, 8)
-        # HIGHEST precision: the MXU's default bf16 pass corrupts the moment
-        # sums by ~0.4% and the trajectory diverges from the oracle
-        m = jnp.dot(
-            ones_row, cols,
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-        )[0]  # (8,)
+        m = jnp.zeros((1, 8), jnp.float32)
+        for b, start, size in blocks:
+            def live_block(start=start, size=size):
+                px, py, w, d2, mx, my = block_correspond(start, size, cth, sth, ptx, pty)
+                px_m, py_m, mx_m, my_m = px * 1e-3, py * 1e-3, mx * 1e-3, my * 1e-3
+                cols = jnp.concatenate(
+                    [
+                        w,
+                        w * px_m, w * py_m, w * mx_m, w * my_m,
+                        w * (px_m * mx_m + py_m * my_m),
+                        w * (px_m * my_m - py_m * mx_m),
+                        w * jnp.sqrt(d2),
+                    ],
+                    axis=1,
+                )  # (R, 8)
+                # HIGHEST precision: the MXU's default bf16 pass corrupts the
+                # moment sums and the trajectory diverges from the oracle
+                return jnp.dot(
+                    jnp.ones((1, size), jnp.float32), cols,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            if skip_dead:
+                m = m + jax.lax.cond(
+                    rb_live_ref[0, b] > 0, live_block, lambda: jnp.zeros((1, 8), jnp.float32)
+                )
+            else:
+                m = m + live_block()
+        m = m[0]
         sw = m[0]
         safe = jnp.maximum(sw, 1e-9)
         cax = m[1] / safe   # metres
@@ -233,13 +244,27 @@ def _icp_kernel(
         cth, sth, ptx, pty, _, _, n_iters = jax.lax.fori_loop(0, iters, iter_body, init)
 
     # final inlier RMSE at the converged pose (Open3D definition)
-    px, py = apply_pose(cth, sth, ptx, pty)
-    d2, _, _ = _nn_pass(px, py, t8_ref, live_ref, col, tile_t, n_tiles, exact=True)
-    w = sv * (d2 < thr2).astype(jnp.float32)
-    n_in = jnp.sum(w)
+    tot = jnp.zeros((1, 2), jnp.float32)  # [n_inliers, sum w*d2]
+    for b, start, size in blocks:
+        def live_block(start=start, size=size):
+            _, _, w, d2, _, _ = block_correspond(start, size, cth, sth, ptx, pty)
+            return jnp.dot(
+                jnp.ones((1, size), jnp.float32),
+                jnp.concatenate([w, w * d2], axis=1),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        if skip_dead:
+            tot = tot + jax.lax.cond(
+                rb_live_ref[0, b] > 0, live_block, lambda: jnp.zeros((1, 2), jnp.float32)
+            )
+        else:
+            tot = tot + live_block()
+    n_in = tot[0, 0]
     rmse = jnp.where(
         n_in > 0,
-        jnp.sqrt(jnp.sum(w * d2) / jnp.maximum(n_in, 1.0)),
+        jnp.sqrt(tot[0, 1] / jnp.maximum(n_in, 1.0)),
         jnp.float32(_BIG),
     )
 
@@ -272,6 +297,9 @@ def icp_fused_pallas(
     kernel = functools.partial(
         _icp_kernel, tile_t=tile_t, iters=iters,
         thr2=float(threshold_mm) ** 2, tol=float(tolerance), early_exit=early_exit,
+        # early_exit doubles as the sequential-vs-vmapped regime switch (see
+        # IcpConfig.early_exit): liveness skipping only helps sequentially
+        skip_dead=early_exit,
     )
     init_pose = init_pose.astype(jnp.float32)
 
@@ -296,9 +324,17 @@ def icp_fused_pallas(
     t8 = jnp.stack(
         [-2.0 * txp, -2.0 * typ, txp * txp + typ * typ + (1.0 - tvf) * jnp.float32(_BIG)]
     )  # (3, T)
-    # per-tile liveness flags, read as scalars from SMEM inside the kernel
+    # per-tile and per-source-row-block liveness flags, read as scalars from
+    # SMEM inside the kernel (1-D SMEM inputs fail Mosaic block-spec checks
+    # under vmap, hence the (1, N) shapes)
     n_tiles = t // tile_t
     live = jnp.max(tvf.reshape(n_tiles, tile_t), axis=1).astype(jnp.int32).reshape(1, n_tiles)
+    svf = src_valid.astype(jnp.float32)
+    n_rb = -(-s // _ROW_BLOCK)
+    rb_pad = jnp.zeros(n_rb * _ROW_BLOCK, jnp.float32).at[:s].set(svf)
+    rb_live = (
+        jnp.max(rb_pad.reshape(n_rb, _ROW_BLOCK), axis=1).astype(jnp.int32).reshape(1, n_rb)
+    )
 
     out = pl.pallas_call(
         kernel,
@@ -307,6 +343,7 @@ def icp_fused_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -318,6 +355,7 @@ def icp_fused_pallas(
         src_valid.astype(jnp.float32).reshape(s, 1),
         t8,
         live,
+        rb_live,
         params,
     )
     theta = jnp.arctan2(out[0, 3], out[0, 2])
