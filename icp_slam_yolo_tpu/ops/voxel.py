@@ -61,10 +61,17 @@ def compact(xy: jnp.ndarray, valid: jnp.ndarray, capacity: int):
     global map after insertion (`mainn.py:330-331`'s ``points.extend`` becomes a
     bounded buffer).  Points beyond ``capacity`` are dropped oldest-last (stable
     order preserves insertion order).
+
+    One multi-operand stable sort carries the payload columns through the
+    permutation — argsort + two post-sort gathers cost ~0.3 ms per SLAM step
+    at map capacity (random-access gathers serialize on TPU).
     """
-    order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
-    xy_sorted = xy[order]
-    valid_sorted = valid[order]
+    key = jnp.where(valid, 0, 1).astype(jnp.int32)
+    _, xs, ys, vs = jax.lax.sort(
+        (key, xy[:, 0], xy[:, 1], valid.astype(jnp.int32)), num_keys=1, is_stable=True
+    )
+    xy_sorted = jnp.stack([xs, ys], axis=1)
+    valid_sorted = vs.astype(bool)
     n = xy.shape[0]
     if capacity <= n:
         return xy_sorted[:capacity], valid_sorted[:capacity]
