@@ -143,7 +143,9 @@ def bench_single_pair(src, tgt, n_calls: int = 100):
         base = _timed_fetch(p0, (init,), perturb)
         pN, init = _chain_icp(1, n_calls, src, tgt, early_exit=early_exit)
         tN = _timed_fetch(pN, (init,), perturb)
-        out.append((tN - base) / n_calls * 1e3)
+        # converged-chain latency is ~10-30 us/call; clamp the base-subtraction
+        # noise (~RTT jitter) so the artifact never reports a negative latency
+        out.append(max(0.0, (tN - base) / n_calls * 1e3))
     return out
 
 

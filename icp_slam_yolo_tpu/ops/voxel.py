@@ -41,15 +41,48 @@ def voxel_downsample(xy: jnp.ndarray, valid: jnp.ndarray, voxel_size: float):
       ``(out_xy, out_valid)`` of the same static shape: one averaged point per
       occupied voxel (packed at the front, since keys sort ascending and the
       sentinel sorts last), invalid slots zeroed.
+
+    Implementation: two multi-operand stable sorts + prefix sums — no
+    `unique`, no `segment_sum` (whose scatter-adds serialize on TPU and showed
+    up hot in the SLAM-step profile at map capacity).  After sorting by voxel
+    key, each segment's sum is the difference of inclusive prefix sums at
+    consecutive segment ends; a second stable sort on the is-segment-end flag
+    packs those ends to the front in key order.  Coordinate prefix sums use a
+    split accumulator (multiples of 32 mm accumulate exactly in f32 up to the
+    buffer sizes used here; the < 16 mm residual carries the rounding error,
+    which stays ~1e-3 mm on real data — same order as the scatter-add path).
     """
     n = xy.shape[0]
     key = voxel_keys(xy, valid, voxel_size)
-    uniq, inv = jnp.unique(key, size=n, fill_value=_SENTINEL, return_inverse=True)
     w = valid.astype(jnp.float32)
-    sums = jax.ops.segment_sum(xy * w[:, None], inv, num_segments=n)
-    cnts = jax.ops.segment_sum(w, inv, num_segments=n)
-    out_valid = (cnts > 0) & (uniq != _SENTINEL)
-    out_xy = sums / jnp.maximum(cnts, 1.0)[:, None]
+    xw = xy[:, 0] * w
+    yw = xy[:, 1] * w
+    k, xs, ys, ws = jax.lax.sort((key, xw, yw, w), num_keys=1, is_stable=True)
+
+    # split prefix sums: hi = nearest multiple of 32 mm (exact f32 integer
+    # arithmetic for |prefix| < 2^24 * 32 mm), lo = residual in [-16, 16)
+    def split_cumsum(v):
+        hi = jnp.round(v * (1.0 / 32.0)) * 32.0
+        lo = v - hi
+        return jnp.cumsum(hi), jnp.cumsum(lo)
+
+    cxh, cxl = split_cumsum(xs)
+    cyh, cyl = split_cumsum(ys)
+    cw = jnp.cumsum(ws)  # 0/1 weights: exact
+    last = jnp.concatenate([k[:-1] != k[1:], jnp.ones(1, bool)])
+    pkey = jnp.where(last, 0, 1).astype(jnp.int32)
+    pk, ku, pxh, pxl, pyh, pyl, pw = jax.lax.sort(
+        (pkey, k, cxh, cxl, cyh, cyl, cw), num_keys=1, is_stable=True
+    )
+
+    def seg(c):
+        return c - jnp.concatenate([jnp.zeros(1, c.dtype), c[:-1]])
+
+    sx = seg(pxh) + seg(pxl)
+    sy = seg(pyh) + seg(pyl)
+    sw = seg(pw)
+    out_valid = (pk == 0) & (ku != _SENTINEL) & (sw > 0)
+    out_xy = jnp.stack([sx, sy], axis=1) / jnp.maximum(sw, 1.0)[:, None]
     out_xy = jnp.where(out_valid[:, None], out_xy, 0.0)
     return out_xy, out_valid
 
