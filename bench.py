@@ -232,7 +232,8 @@ def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
     cfg = SlamConfig(
         map=MapConfig(width_mm=12000.0, height_mm=12000.0),
         icp=IcpConfig(early_exit=False),
-        occupancy=OccupancyConfig(window_px=100, max_ray_px=112),
+        # vmapped: cond lowers to select, so liveness skipping is pure overhead
+        occupancy=OccupancyConfig(window_px=100, max_ray_px=112, skip_dead_rays=False),
         map_capacity=4096,
     )
     scans, _, _ = scans_io.load_sequence("/root/reference/Scan_data_1", 1, n_scans + 1, n_max=cfg.n_max)

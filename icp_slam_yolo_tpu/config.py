@@ -108,7 +108,12 @@ class OccupancyConfig:
     ``free_threshold`` drives point filtering/pruning (`process.py:203-249`).
 
     ``max_ray_px`` is the static sample budget per ray: the window bound means a
-    Bresenham line has at most ``window_px + 1`` cells, so 160 covers it.
+    Bresenham line has at most ``window_px + 1`` cells, so 144 covers the
+    default 140-px window (sample count feeds the one-hot raster matmuls
+    directly, so slack is pure cost).  ``skip_dead_rays`` compacts the rays and
+    guards 128-ray blocks behind scalar branches — keep True for sequential
+    replay, set False under vmap (cond lowers to select there and both
+    branches execute; see `parallel/fleet.py`).
     """
 
     p_occ_inc: float = 0.2
@@ -116,7 +121,8 @@ class OccupancyConfig:
     block_threshold: float = 0.65
     free_threshold: float = 0.2
     window_px: int = 140
-    max_ray_px: int = 160
+    max_ray_px: int = 144
+    skip_dead_rays: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -106,6 +106,14 @@ def update_occupancy(
     h, w = occ.shape
     win = occ_cfg.window_px
 
+    if occ_cfg.skip_dead_rays:
+        # ray order is irrelevant under the frozen-probability formulation
+        # (per-cell counts commute), so pack valid rays to the front and let
+        # entirely-dead 128-ray blocks skip their one-hot matmuls below
+        from icp_slam_yolo_tpu.ops.voxel import compact
+
+        points_xy, valid = compact(points_xy, valid, points_xy.shape[0])
+
     rx, ry = world_to_px(robot_xy[None, :], map_cfg)
     rx, ry = rx[0], ry[0]
     ex, ey = world_to_px(points_xy, map_cfg)
@@ -152,25 +160,47 @@ def update_occupancy(
     # binary `p >= block_threshold` grid, never the probabilities themselves,
     # which is what makes the bf16 lookup exact.
     k = occ_cfg.max_ray_px
-    ly_f = ly.reshape(-1)
-    lx_f = lx.reshape(-1)
-    a_hot = (ly_f[:, None] == jnp.arange(wh, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    b_hot = (lx_f[:, None] == jnp.arange(ww, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-
-    # frozen-probability early stop at the first blocked body cell
     blocked_grid = (win_p >= occ_cfg.block_threshold).astype(jnp.bfloat16)
-    rows = jnp.dot(a_hot, blocked_grid, preferred_element_type=jnp.float32)  # (S, WW)
-    blocked_s = jnp.sum(rows * b_hot.astype(jnp.float32), axis=1)
-    blocked = body & (blocked_s.reshape(body.shape) > 0.5)
     i = jnp.arange(k, dtype=jnp.int32)[None, :]
-    first_block = jnp.min(jnp.where(blocked, i, k), axis=1, keepdims=True)
-    body = body & (i < first_block)
-    endpoint = endpoint & (first_block == k)
+    ay = jnp.arange(wh, dtype=jnp.int32)[None, :]
+    bx = jnp.arange(ww, dtype=jnp.int32)[None, :]
 
-    bodyf = body.reshape(-1, 1).astype(jnp.bfloat16)
-    endf = endpoint.reshape(-1, 1).astype(jnp.bfloat16)
-    free_n = jnp.dot((a_hot * bodyf).T, b_hot, preferred_element_type=jnp.float32)
-    occ_n = jnp.dot((a_hot * endf).T, b_hot, preferred_element_type=jnp.float32)
+    def block_counts(sl):
+        """One ray block's (free_n, occ_n) counts via one-hot matmuls."""
+        ly_f = ly[sl].reshape(-1)
+        lx_f = lx[sl].reshape(-1)
+        a_hot = (ly_f[:, None] == ay).astype(jnp.bfloat16)
+        b_hot = (lx_f[:, None] == bx).astype(jnp.bfloat16)
+        # frozen-probability early stop at the first blocked body cell
+        rows = jnp.dot(a_hot, blocked_grid, preferred_element_type=jnp.float32)  # (S, WW)
+        blocked_s = jnp.sum(rows * b_hot.astype(jnp.float32), axis=1)
+        body_b = body[sl]
+        blocked = body_b & (blocked_s.reshape(body_b.shape) > 0.5)
+        first_block = jnp.min(jnp.where(blocked, i, k), axis=1, keepdims=True)
+        body2 = body_b & (i < first_block)
+        end2 = endpoint[sl] & (first_block == k)
+        bodyf = body2.reshape(-1, 1).astype(jnp.bfloat16)
+        endf = end2.reshape(-1, 1).astype(jnp.bfloat16)
+        free_b = jnp.dot((a_hot * bodyf).T, b_hot, preferred_element_type=jnp.float32)
+        occ_b = jnp.dot((a_hot * endf).T, b_hot, preferred_element_type=jnp.float32)
+        return free_b, occ_b
+
+    n = points_xy.shape[0]
+    if occ_cfg.skip_dead_rays and n > 128:
+        free_n = jnp.zeros((wh, ww), jnp.float32)
+        occ_n = jnp.zeros((wh, ww), jnp.float32)
+        for start in range(0, n, 128):
+            sl = slice(start, min(start + 128, n))
+            live = jnp.any(valid[sl])
+            fb, ob = jax.lax.cond(
+                live,
+                lambda sl=sl: block_counts(sl),
+                lambda: (jnp.zeros((wh, ww), jnp.float32), jnp.zeros((wh, ww), jnp.float32)),
+            )
+            free_n = free_n + fb
+            occ_n = occ_n + ob
+    else:
+        free_n, occ_n = block_counts(slice(0, n))
 
     win_p = win_p * jnp.power(jnp.float32(occ_cfg.p_free_decay), free_n)
     win_p = jnp.minimum(1.0, win_p + occ_cfg.p_occ_inc * occ_n)
