@@ -113,3 +113,25 @@ def test_update_occupancy_at_map_border(scan_pair):
         jnp.asarray(xy), jnp.asarray(valid), jnp.asarray(corner, jnp.float32), mc, oc,
     )
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_update_occupancy_odd_ray_count(scan_pair):
+    """Ray buffers that are not a multiple of the 128-ray block (and scattered
+    validity, which ray compaction must repack) still match the oracle."""
+    from icp_slam_yolo_tpu.config import OFFLINE_GATE
+
+    mc, oc = MapConfig(), OccupancyConfig()
+    pts = oracle.polar_gate(scan_pair[0], OFFLINE_GATE)[:150]
+    n = 200  # not a multiple of 128
+    xy = np.zeros((n, 2), np.float32)
+    valid = np.zeros(n, bool)
+    idx = np.arange(0, n, 2)[: len(pts)]  # scattered validity
+    xy[idx] = pts[: len(idx)]
+    valid[idx] = True
+    occ0 = np.full((mc.height_px, mc.width_px), 0.5, np.float64)
+    ref = oracle.update_occupancy(occ0, pts[: len(idx)], np.zeros(2), mc, oc)
+    ours = update_occupancy(
+        jnp.full((mc.height_px, mc.width_px), 0.5, jnp.float32),
+        jnp.asarray(xy), jnp.asarray(valid), jnp.zeros(2, jnp.float32), mc, oc,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
