@@ -123,7 +123,7 @@ def icp_masked(
         # target slots up front costs ~50x more on a 24k-point map)
         cov_src = local_covariances(src_xy, src_valid, cfg.gicp_k, cfg.gicp_epsilon)
 
-    def _gicp_step(pose, moved, matched, idx, w):
+    def _gicp_step(pose, moved, matched, w):
         """One Gauss-Newton step of the GICP objective
         ``sum_i w_i r_i^T (C_tgt_i + R C_src_i R^T)^{-1} r_i`` over SE(2)
         (`gicp_lidar.py:31-35`'s TransformationEstimationForGeneralizedICP).
@@ -175,7 +175,7 @@ def icp_masked(
         if cfg.huber_delta_mm > 0:
             w = w * jnp.minimum(1.0, cfg.huber_delta_mm / jnp.maximum(dist, 1e-6))
         if use_gicp:
-            delta = _gicp_step(pose, moved, matched, idx, w)
+            delta = _gicp_step(pose, moved, matched, w)
         else:
             if use_p2l:
                 # project the residual onto the target normal: solve point-to-point

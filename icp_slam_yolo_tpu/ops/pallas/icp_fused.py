@@ -291,7 +291,11 @@ def icp_fused_pallas(
     s, t = src_xy.shape[0], tgt_xy.shape[0]
     assert s % 8 == 0 and t % 128 == 0, (s, t)
     if tile_t is None:
+        # largest 128-multiple divisor of t up to 2048 (t = 2560 -> 1280, not
+        # an assert: the public icp()/register() APIs pad targets to 128 only)
         tile_t = min(t, 2048)
+        while t % tile_t:
+            tile_t -= 128
     assert t % tile_t == 0, (t, tile_t)
 
     kernel = functools.partial(

@@ -262,9 +262,11 @@ def make_handler(state: ServerState):
             """Resolve a client-supplied filename under the work dir, or
             ``None`` when it escapes it.  Raw handlers pass ``../`` through,
             so every file route must containment-check before touching disk
-            (the server is unauthenticated and binds 0.0.0.0)."""
+            (the server is unauthenticated and binds 0.0.0.0).  ``name`` must
+            already be percent-decoded by the route handler — decoding twice
+            would mis-resolve legal filenames containing literal %XX."""
             root = os.path.realpath(state.work_dir)
-            fp = os.path.realpath(os.path.join(root, unquote(name)))
+            fp = os.path.realpath(os.path.join(root, name))
             if fp != root and not fp.startswith(root + os.sep):
                 return None
             return fp

@@ -109,9 +109,15 @@ class ServerState:
 
     # --- SLAM worker -------------------------------------------------------
     def feed_scan(self, scan: np.ndarray) -> dict:
-        """One scan through the engine + bookkeeping (target distance, trigger)."""
-        out = self.engine.add_scan(scan)
+        """One scan through the engine + bookkeeping (target distance, trigger).
+
+        The engine step runs under the state lock: `load_map`/`resume_mapping`
+        swap `engine.state` and the compiled step under the same lock, and an
+        unlocked in-flight `add_scan` would write a stale mapping-mode state
+        back over the freshly loaded map.
+        """
         with self.lock:
+            out = self.engine.add_scan(scan)
             pose = out["pose"]
             from icp_slam_yolo_tpu.reference_impl.oracle import polar_gate, se2_apply
 

@@ -23,9 +23,17 @@ class Slam:
     def __init__(self, cfg: SlamConfig = SlamConfig()):
         self.cfg = cfg
         self.state: pipeline.SlamState | None = None
-        self._step = jax.jit(pipeline.make_step(cfg))
+        self._steps: dict = {}  # cfg -> jitted step (mode toggles reuse
+        # their compiled program; a fresh jax.jit wrapper per toggle would
+        # recompile the whole pipeline, a 1-3 min stall in this environment)
+        self._step = self._compiled_step(cfg)
         self.trajectory: list[np.ndarray] = []
         self.rmse_history: list[float] = []
+
+    def _compiled_step(self, cfg: SlamConfig):
+        if cfg not in self._steps:
+            self._steps[cfg] = jax.jit(pipeline.make_step(cfg))
+        return self._steps[cfg]
 
     def reset(self) -> None:
         self.state = None
@@ -40,7 +48,7 @@ class Slam:
         if self.cfg.localization_only == bool(enabled):
             return
         self.cfg = self.cfg.replace(localization_only=bool(enabled))
-        self._step = jax.jit(pipeline.make_step(self.cfg))
+        self._step = self._compiled_step(self.cfg)
 
     def add_scan(self, scan: np.ndarray):
         """Feed one raw polar scan ``(N, 3)``; returns a `StepOutput`-like dict."""

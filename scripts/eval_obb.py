@@ -79,10 +79,11 @@ def main():
                     angle_errs.append(abs(wrap_pi(pangles[i] - gt_angles[j])))
 
     metrics = evaluate_detections(preds, gts)
-    errs = np.degrees(np.array(angle_errs)) if angle_errs else np.array([np.nan])
+    errs = np.degrees(np.array(angle_errs)) if angle_errs else None
     metrics.update(
-        angle_error_mean_deg=round(float(errs.mean()), 2),
-        angle_error_p90_deg=round(float(np.percentile(errs, 90)), 2),
+        # None (JSON null) when nothing matched — NaN is not valid JSON
+        angle_error_mean_deg=round(float(errs.mean()), 2) if errs is not None else None,
+        angle_error_p90_deg=round(float(np.percentile(errs, 90)), 2) if errs is not None else None,
         val_images=len(pairs),
         steps=meta.get("steps"),
         img_size=det.img_size,
