@@ -231,8 +231,13 @@ def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
 
     cfg = SlamConfig(
         map=MapConfig(width_mm=12000.0, height_mm=12000.0),
-        icp=IcpConfig(early_exit=False),
-        # vmapped: cond lowers to select, so liveness skipping is pure overhead
+        # early_exit/skip_dead STAY ON under vmap: vmapping a pallas_call adds
+        # a grid dimension, and the kernel's scalar SMEM branches remain real
+        # per-lane branches (round-2 wrongly assumed cond->select inside the
+        # kernel; flipping this alone took the fleet 1305 -> 3813 scans/s).
+        icp=IcpConfig(early_exit=True),
+        # the XLA-level cond in the raster DOES lower to select under vmap,
+        # so ray-block skipping stays off for fleets
         occupancy=OccupancyConfig(window_px=100, max_ray_px=112, skip_dead_rays=False),
         map_capacity=4096,
     )

@@ -241,6 +241,12 @@ def cmd_split(args):
 
 
 def main(argv=None):
+    # config is jax-free, so importing the preset registry here keeps CLI
+    # parsing fast while guaranteeing new presets are selectable (`--preset`
+    # choices are derived, not duplicated)
+    from icp_slam_yolo_tpu.config import PRESETS
+
+    preset_names = sorted(PRESETS)
     p = argparse.ArgumentParser(prog="icp_slam_yolo_tpu", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = p.add_subparsers(dest="command", required=True)
@@ -251,8 +257,7 @@ def main(argv=None):
     r.add_argument("--end", type=int, default=None)
     r.add_argument("--output", default="global_map_offline")
     r.add_argument("--map-capacity", type=int, default=8192)
-    r.add_argument("--preset", default="offline",
-                   choices=["offline", "realtime", "realtime_b", "realtime_1", "realtime_2"])
+    r.add_argument("--preset", default="offline", choices=preset_names)
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("serve", help="HTTP control panel")
@@ -266,7 +271,7 @@ def main(argv=None):
     s.add_argument("--map-capacity", type=int, default=8192)
     s.add_argument("--weights", default=None, help="detector checkpoint for the fused loop")
     s.add_argument("--camera-dir", default=None, help="stereo frame source (anh_1_*/anh_2_*)")
-    s.add_argument("--preset", default="offline", choices=["offline", "realtime", "realtime_b", "realtime_1", "realtime_2"],
+    s.add_argument("--preset", default="offline", choices=preset_names,
                    help="config preset (the reference's per-script realtime mains)")
     s.add_argument("--bf16", action="store_true",
                    help="bfloat16 detector compute (MXU-native; val mAP50-95 0.998 vs 0.996 f32)")

@@ -93,8 +93,10 @@ class IcpConfig:
     # vmap, cond lowers to select and both branches run: leave off for fleets.)
     huber_delta_mm: float = 0.0     # 0 disables robust weighting
     backend: str = "auto"           # "auto" | "xla" | "fused" (single Pallas kernel)
-    early_exit: bool = True         # stop fused kernel at convergence (keep True
-                                    # for single-lane use; set False under vmap)
+    early_exit: bool = True         # stop fused kernel at convergence.  Safe
+    # (and fast) under vmap too: vmapping a pallas_call adds a grid dimension
+    # and the kernel's scalar branches stay real per-lane branches — only
+    # XLA-level lax.cond (e.g. rescue_estimator) lowers to select under vmap.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,6 +125,19 @@ class OccupancyConfig:
     window_px: int = 140
     max_ray_px: int = 144
     skip_dead_rays: bool = True
+    backend: str = "auto"  # "auto" | "xla" | "fused": auto uses the fused
+    # Pallas raster (`ops/pallas/raster_fused.py`) on TPU when the window fits
+    # the kernel's 128-aligned layout, the pure-XLA one-hot path otherwise
+
+    def __post_init__(self):
+        # A Bresenham line clipped to the window has at most window_px + 1
+        # cells; a smaller sample budget silently truncates rays and drops
+        # endpoint updates, corrupting the occupancy map.
+        if self.max_ray_px <= self.window_px:
+            raise ValueError(
+                f"max_ray_px ({self.max_ray_px}) must exceed window_px "
+                f"({self.window_px}): rays need window_px + 1 samples"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

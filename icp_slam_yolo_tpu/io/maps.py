@@ -124,5 +124,13 @@ def load_pcd(path: str) -> np.ndarray:
         ]
     )
     rec = np.frombuffer(raw[nl + 1 :], dtype=dtype, count=n_points)
-    cols = [rec[a].astype(np.float32).reshape(n_points) for a in ("x", "y", "z") if a in fields]
+    missing = [a for a in ("x", "y", "z") if a not in fields]
+    if missing:
+        raise ValueError(f"PCD file missing coordinate field(s) {missing}; FIELDS={fields}")
+    cols = []
+    for a in ("x", "y", "z"):
+        col = rec[a].astype(np.float32)
+        if col.ndim > 1:  # COUNT > 1: take the first component of the subarray
+            col = col[..., 0]
+        cols.append(col.reshape(n_points))
     return np.stack(cols, axis=1)

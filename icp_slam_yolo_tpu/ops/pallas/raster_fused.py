@@ -1,0 +1,224 @@
+"""Fused occupancy-raster kernel: the whole per-scan grid update in one
+Pallas program.
+
+The XLA formulation (`ops/raster.update_occupancy`) is HBM-bound: the one-hot
+matrices it feeds the MXU — ``a_hot``/``b_hot`` ``(N*K, W)`` and the ``rows``
+product — are tens of MB of intermediates per scan that each round-trip
+through HBM.  Here they never exist outside VMEM: each 32-ray block builds its
+one-hots on the fly, runs the gather/scatter matmuls, and accumulates the
+free/occupied counts in registers.
+
+Two TPU-specific tricks make the layout work (verified on v5e, see
+docs/PERF.md):
+
+  * **3-D one-hot build + sublane merge.**  Ray-major inputs ``(32, K)`` can't
+    be cheaply flattened to sample-major ``(32*K, 1)`` (lane->sublane
+    relayout), but the one-hot compare can run in 3-D — ``(32, K, 1) ==
+    iota(32, K, BB)`` — and the ``(32, K, BB) -> (32*K, BB)`` reshape merges
+    outer+sublane dims, which IS layout-compatible (K must be a multiple
+    of 8).  Masks multiply in 3-D before the merge for the same reason.
+  * **Wedge bounding boxes + `pltpu.roll`.**  Scan rays arrive in angular
+    order, so a block of 32 consecutive rays sweeps a wedge whose bounding
+    box is ~``window_px`` wide — much smaller than the full update window.
+    One-hots are built at the block-local ``BB``x``BB`` resolution (128 or
+    256: exact MXU tiles, no padding waste) and the block's count
+    contribution is placed into the full window with two dynamic rolls
+    (Mosaic rejects dynamic lane slicing/writes; `roll` is the supported
+    dynamic data-movement primitive).  Rare blocks whose wedge overflows
+    ``BB`` take a full-window slow path behind a per-block scalar branch;
+    dead blocks (no valid ray) cost one scalar compare.
+
+Semantics are identical to the XLA path (`process.py:114-179` frozen-
+probability formulation): per cell, ``p *= decay^n_free_crossings`` then
+``p = min(1, p + inc * n_endpoints)``, with each ray's samples truncated at
+the first already-blocked body cell.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_RAY_BLOCK = 32  # rays per block (wedge granularity)
+
+
+def _one_hot_3d(coords, n_rays, k, width):
+    """``(R, K)`` int32 local coords -> ``(R*K, width)`` bf16 one-hot rows."""
+    i3 = jax.lax.broadcasted_iota(jnp.int32, (n_rays, k, width), 2)
+    return (coords[:, :, None] == i3).astype(jnp.bfloat16).reshape(n_rays * k, width)
+
+
+def _block_counts(ly, lx, body3, end3, bg, n_rays, k, width):
+    """Free/occupied count contribution of one ray block at ``width`` resolution.
+
+    Args:
+      ly/lx: ``(R, K)`` int32 cell coords, already local to the ``width`` box.
+      body3/end3: ``(R, K, 1)`` f32 sample masks.
+      bg: ``(width, width)`` bf16 blocked-cell grid for the same box.
+
+    Returns ``(free, occ)`` each ``(width, width)`` f32.
+    """
+    a2 = _one_hot_3d(ly, n_rays, k, width)      # (R*K, BB)
+    b2 = _one_hot_3d(lx, n_rays, k, width)
+    # gather: s[sample] = blocked[ly, lx]  (0/1 exact in bf16)
+    rows = jnp.dot(a2, bg, preferred_element_type=jnp.float32)
+    s = jnp.sum(rows * b2.astype(jnp.float32), axis=1, keepdims=True)  # (R*K, 1)
+    s3 = s.reshape(n_rays, k, 1)
+    i3 = jax.lax.broadcasted_iota(jnp.int32, (n_rays, k, 1), 1)
+    blocked3 = (body3 > 0) & (s3 > 0.5)
+    key3 = jnp.where(blocked3, i3, jnp.int32(k))
+    first3 = jnp.min(key3, axis=1, keepdims=True)              # (R, 1, 1)
+    body2 = body3 * (i3 < first3).astype(jnp.float32)
+    end2 = end3 * (first3 >= k).astype(jnp.float32)
+    # stacked scatter: [free; occ] in one MXU pass (masks fold in 3-D)
+    a3 = a2.reshape(n_rays, k, width)
+    stacked = jnp.concatenate(
+        [a3 * body2.astype(jnp.bfloat16), a3 * end2.astype(jnp.bfloat16)], axis=2
+    ).reshape(n_rays * k, 2 * width)
+    counts = jax.lax.dot_general(
+        stacked, b2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (2*BB, BB)
+    return counts[:width], counts[width:]
+
+
+def _raster_kernel(
+    meta_ref, ly_ref, lx_ref, body_ref, end_ref, win_ref, out_ref,
+    *, k: int, bb: int, p_occ_inc: float, p_free_decay: float,
+    block_threshold: float,
+):
+    wh, ww = win_ref.shape
+    n_blocks = ly_ref.shape[0] // _RAY_BLOCK
+    win_p = win_ref[...]
+    bg_full = (win_p >= block_threshold).astype(jnp.bfloat16)
+
+    def block_body(b, carry):
+        free_acc, occ_acc = carry
+        mode = meta_ref[0, b]          # 0 dead, 1 fast (fits BB), 2 overflow
+        by = meta_ref[1, b]
+        bx = meta_ref[2, b]
+
+        def dead():
+            return free_acc, occ_acc
+
+        def fast():
+            ly = ly_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :] - by
+            lx = lx_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :] - bx
+            body3 = body_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :][:, :, None]
+            end3 = end_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :][:, :, None]
+            # block-local blocked grid: roll the box corner to the origin and
+            # take a static BB x BB slice (dynamic lane slicing is unsupported;
+            # roll is the dynamic data-movement primitive Mosaic does have).
+            # Roll the f32 window, not the bf16 grid: bf16 rolls fail Mosaic.
+            rolled = pltpu.roll(pltpu.roll(win_p, wh - by, 0), ww - bx, 1)[:bb, :bb]
+            bg = (rolled >= block_threshold).astype(jnp.bfloat16)
+            free_b, occ_b = _block_counts(ly, lx, body3, end3, bg, _RAY_BLOCK, k, bb)
+            # place the BB x BB contribution back at (by, bx) with two rolls
+            pad_y = jnp.zeros((wh - bb, bb), jnp.float32)
+            pad_x = jnp.zeros((wh, ww - bb), jnp.float32)
+            free_f = jnp.concatenate(
+                [jnp.concatenate([free_b, pad_y], axis=0), pad_x], axis=1
+            )
+            occ_f = jnp.concatenate(
+                [jnp.concatenate([occ_b, pad_y], axis=0), pad_x], axis=1
+            )
+            free_f = pltpu.roll(pltpu.roll(free_f, by, 0), bx, 1)
+            occ_f = pltpu.roll(pltpu.roll(occ_f, by, 0), bx, 1)
+            return free_acc + free_f, occ_acc + occ_f
+
+        def slow():
+            ly = ly_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :]
+            lx = lx_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :]
+            body3 = body_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :][:, :, None]
+            end3 = end_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :][:, :, None]
+            # full-window resolution (ww == wh for kernel-eligible windows)
+            free_b, occ_b = _block_counts(ly, lx, body3, end3, bg_full, _RAY_BLOCK, k, ww)
+            return free_acc + free_b[:wh], occ_acc + occ_b[:wh]
+
+        return jax.lax.cond(
+            mode == 0, dead, lambda: jax.lax.cond(mode == 1, fast, slow)
+        )
+
+    free_n, occ_n = jax.lax.fori_loop(
+        0, n_blocks, block_body,
+        (jnp.zeros((wh, ww), jnp.float32), jnp.zeros((wh, ww), jnp.float32)),
+    )
+    new_p = win_p * jnp.power(jnp.float32(p_free_decay), free_n)
+    out_ref[...] = jnp.minimum(1.0, new_p + jnp.float32(p_occ_inc) * occ_n)
+
+
+def raster_update_pallas(
+    win_p: jnp.ndarray,
+    ly: jnp.ndarray,
+    lx: jnp.ndarray,
+    body: jnp.ndarray,
+    endpoint: jnp.ndarray,
+    ray_live: jnp.ndarray,
+    *,
+    bb: int,
+    p_occ_inc: float,
+    p_free_decay: float,
+    block_threshold: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Apply one scan's occupancy update to a window slice.
+
+    Args:
+      win_p: ``(wh, ww)`` f32 probability window (both multiples of 128 and
+        square for the kernel's slow path).
+      ly/lx: ``(N, K)`` int32 window-local cell coords per ray sample; masked
+        samples MUST carry an in-wedge coordinate (the robot cell).
+      body/endpoint: ``(N, K)`` f32 0/1 sample masks (in-window already folded).
+      ray_live: ``(N,)`` bool valid-ray mask (drives dead-block skipping).
+      bb: wedge box size (128 or 256), a multiple of 128 with bb <= ww.
+
+    Returns the updated ``(wh, ww)`` window.
+    """
+    n, k = ly.shape
+    wh, ww = win_p.shape
+    assert n % _RAY_BLOCK == 0 and k % 8 == 0, (n, k)
+    assert wh % 8 == 0 and ww % 128 == 0 and bb % 128 == 0 and bb <= min(wh, ww)
+    n_blocks = n // _RAY_BLOCK
+
+    # per-block wedge stats (XLA, cheap): bbox corner + mode
+    live3 = ray_live.reshape(n_blocks, _RAY_BLOCK)
+    lyb = ly.reshape(n_blocks, _RAY_BLOCK * k)
+    lxb = lx.reshape(n_blocks, _RAY_BLOCK * k)
+    y_min = jnp.min(lyb, axis=1)
+    y_max = jnp.max(lyb, axis=1)
+    x_min = jnp.min(lxb, axis=1)
+    x_max = jnp.max(lxb, axis=1)
+    fits = (y_max - y_min < bb) & (x_max - x_min < bb)
+    by = jnp.clip(y_min, 0, wh - bb)
+    bx = jnp.clip(x_min, 0, ww - bb)
+    mode = jnp.where(jnp.any(live3, axis=1), jnp.where(fits, 1, 2), 0)
+    meta = jnp.stack([mode, by, bx]).astype(jnp.int32)  # (3, NB)
+
+    kernel = functools.partial(
+        _raster_kernel, k=k, bb=bb, p_occ_inc=float(p_occ_inc),
+        p_free_decay=float(p_free_decay), block_threshold=float(block_threshold),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((wh, ww), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        meta,
+        ly.astype(jnp.int32),
+        lx.astype(jnp.int32),
+        body.astype(jnp.float32),
+        endpoint.astype(jnp.float32),
+        win_p.astype(jnp.float32),
+    )

@@ -85,6 +85,97 @@ def bresenham_cells(x0, y0, x1: jnp.ndarray, y1: jnp.ndarray, ray_valid: jnp.nda
     return RayCells(px=px, py=py, body=body, endpoint=endpoint)
 
 
+def _fused_side(h: int, w: int, occ_cfg: OccupancyConfig) -> int:
+    """Window side for the fused kernel (128-multiple, square), or 0 when the
+    fused path is ineligible for these shapes."""
+    side = -(-2 * occ_cfg.window_px // 128) * 128
+    if side <= min(h, w) and occ_cfg.max_ray_px % 8 == 0:
+        return side
+    return 0
+
+
+def _use_fused(occ: jnp.ndarray, occ_cfg: OccupancyConfig) -> bool:
+    if occ_cfg.backend == "xla":
+        return False
+    h, w = occ.shape
+    eligible = _fused_side(h, w, occ_cfg) > 0
+    if occ_cfg.backend == "fused":
+        if not eligible:
+            raise ValueError(f"fused raster ineligible for grid {occ.shape} / {occ_cfg}")
+        return True
+    return eligible and jax.default_backend() == "tpu"
+
+
+def _update_occupancy_fused(
+    occ: jnp.ndarray,
+    points_xy: jnp.ndarray,
+    valid: jnp.ndarray,
+    robot_xy: jnp.ndarray,
+    map_cfg: MapConfig,
+    occ_cfg: OccupancyConfig,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Prep + dispatch for the fused Pallas raster (`ops/pallas/raster_fused`).
+
+    Same semantics as the XLA path below; the heavy per-sample work moves into
+    one VMEM-resident kernel.  Rays are packed to the front (order-preserving,
+    so consecutive rays still sweep angular wedges) — dead tail blocks then
+    cost one scalar compare each.
+    """
+    from icp_slam_yolo_tpu.ops.pallas.raster_fused import raster_update_pallas
+    from icp_slam_yolo_tpu.ops.voxel import compact
+
+    h, w = occ.shape
+    win = occ_cfg.window_px
+    side = _fused_side(h, w, occ_cfg)
+    bb = 128 if win <= 112 else min(256, side)
+
+    rx, ry = world_to_px(robot_xy[None, :], map_cfg)
+    rx, ry = rx[0], ry[0]
+    ex0, ey0 = world_to_px(points_xy, map_cfg)
+    x1 = jnp.maximum(0, rx - win)
+    y1 = jnp.maximum(0, ry - win)
+    x2 = jnp.minimum(w, rx + win)
+    y2 = jnp.minimum(h, ry + win)
+    in_window = (ex0 >= x1) & (ex0 < x2) & (ey0 >= y1) & (ey0 < y2)
+    ray_valid = valid & in_window
+
+    # pack live rays to the front (stable: angular order preserved)
+    packed_xy, ray_valid = compact(points_xy, ray_valid, points_xy.shape[0])
+    ex, ey = world_to_px(packed_xy, map_cfg)
+
+    cells = bresenham_cells(rx, ry, ex, ey, ray_valid, occ_cfg.max_ray_px)
+    cell_in_win = (cells.px >= x1) & (cells.px < x2) & (cells.py >= y1) & (cells.py < y2)
+    body = cells.body & cell_in_win
+    endpoint = cells.endpoint & cell_in_win
+
+    y1s = jnp.clip(ry - win, 0, h - side)
+    x1s = jnp.clip(rx - win, 0, w - side)
+    # masked samples take the robot's cell so they never widen a block's wedge
+    active = body | endpoint
+    ly = jnp.where(active, cells.py - y1s, ry - y1s)
+    lx = jnp.where(active, cells.px - x1s, rx - x1s)
+
+    n = points_xy.shape[0]
+    n_pad = -(-n // 32) * 32
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0))
+        ly = jnp.pad(ly, pad, constant_values=0)
+        lx = jnp.pad(lx, pad, constant_values=0)
+        body = jnp.pad(body, pad)
+        endpoint = jnp.pad(endpoint, pad)
+        ray_valid = jnp.pad(ray_valid, (0, n_pad - n))
+
+    win_p = jax.lax.dynamic_slice(occ, (y1s, x1s), (side, side))
+    new_win = raster_update_pallas(
+        win_p, ly, lx,
+        body.astype(jnp.float32), endpoint.astype(jnp.float32), ray_valid,
+        bb=bb, p_occ_inc=occ_cfg.p_occ_inc, p_free_decay=occ_cfg.p_free_decay,
+        block_threshold=occ_cfg.block_threshold, interpret=interpret,
+    )
+    return jax.lax.dynamic_update_slice(occ, new_win, (y1s, x1s))
+
+
 def update_occupancy(
     occ: jnp.ndarray,
     points_xy: jnp.ndarray,
@@ -103,6 +194,11 @@ def update_occupancy(
 
     Returns the updated grid (same shape).
     """
+    if _use_fused(occ, occ_cfg):
+        return _update_occupancy_fused(
+            occ, points_xy, valid, robot_xy, map_cfg, occ_cfg,
+            interpret=jax.default_backend() != "tpu",
+        )
     h, w = occ.shape
     win = occ_cfg.window_px
 

@@ -42,6 +42,36 @@ def resize_to_width(img: np.ndarray, max_width: int) -> tuple[np.ndarray, float]
     return np.asarray(out), factor
 
 
+def resize_to_width_exact(img: np.ndarray, width: int) -> tuple[np.ndarray, float]:
+    """Scale an image so its width is exactly ``width`` (up- or downscaling),
+    returning the array and the scale factor (`lib_main/convert.py:33-41`
+    ``resize_img_shape`` parity — the unconditional variant of
+    :func:`resize_to_width`)."""
+    arr = np.asarray(img)
+    h0, w0 = arr.shape[:2]
+    factor = w0 / width
+    im = Image.fromarray(arr if arr.dtype == np.uint8 else arr.astype(np.uint8))
+    out = im.resize((int(w0 / factor), int(h0 / factor)))
+    return np.asarray(out), factor
+
+
+def load_resized(path: str, size: tuple[int, int]) -> np.ndarray:
+    """Load an image file as RGB resized to ``(w, h)``
+    (`lib_main/convert.py:12-17` ``img_resize_path`` parity — the reference
+    wraps the result in a Tk ``PhotoImage``; our UI is a browser, so the RGB
+    array is the display-ready form)."""
+    return np.asarray(Image.open(path).convert("RGB").resize(size))
+
+
+def list_dir_paths(folder: str) -> list[str]:
+    """Full paths of a directory's entries, [] when the directory is missing
+    (`lib_main/convert.py:49-61` ``list_atwork`` parity, minus the Tk error
+    popup — callers check for an empty result instead)."""
+    if not os.path.isdir(folder):
+        return []
+    return [os.path.join(folder, name) for name in sorted(os.listdir(folder))]
+
+
 def rgb_to_hsv(img: np.ndarray) -> np.ndarray:
     """Vectorised RGB [0,255] -> HSV with OpenCV ranges (H 0-179, S/V 0-255)."""
     arr = np.asarray(img, np.float32) / 255.0

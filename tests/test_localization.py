@@ -78,6 +78,12 @@ def test_motion_model_step_runs():
     GICP rescue) compiles and tracks on a short prefix."""
     import icp_slam_yolo_tpu as slam
 
+    import os
+
+    import pytest
+
+    if not os.path.isdir("/root/reference/Scan_data_1"):
+        pytest.skip("reference scan data unavailable")
     cfg = slam.REALTIME_CONFIG.replace(map_capacity=2048)
     scans, _, _ = scans_io.load_sequence(
         "/root/reference/Scan_data_1", 1, 21, n_max=cfg.n_max

@@ -135,3 +135,103 @@ def test_update_occupancy_odd_ray_count(scan_pair):
         jnp.asarray(xy), jnp.asarray(valid), jnp.zeros(2, jnp.float32), mc, oc,
     )
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def _fused(oc: OccupancyConfig) -> OccupancyConfig:
+    import dataclasses
+
+    return dataclasses.replace(oc, backend="fused")
+
+
+def test_fused_raster_matches_oracle(scan_pair):
+    """The Pallas raster kernel (interpret mode on CPU) must reproduce the
+    oracle exactly like the XLA path does."""
+    from icp_slam_yolo_tpu.config import OFFLINE_GATE
+
+    mc, oc = MapConfig(), _fused(OccupancyConfig())
+    pts = oracle.polar_gate(scan_pair[0], OFFLINE_GATE)
+    occ0 = np.full((mc.height_px, mc.width_px), 0.5, np.float64)
+    ref = oracle.update_occupancy(occ0, pts, np.zeros(2), mc, oc)
+    ref2 = oracle.update_occupancy(ref, pts + 30.0, np.array([50.0, 20.0]), mc, oc)
+
+    n = 512
+    xy = np.zeros((n, 2), np.float32)
+    xy[: len(pts)] = pts
+    valid = np.zeros(n, bool)
+    valid[: len(pts)] = True
+    ours = update_occupancy(
+        jnp.full((mc.height_px, mc.width_px), 0.5, jnp.float32),
+        jnp.asarray(xy), jnp.asarray(valid), jnp.zeros(2, jnp.float32), mc, oc,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+    xy2 = np.zeros((n, 2), np.float32)
+    xy2[: len(pts)] = pts + 30.0
+    ours2 = update_occupancy(
+        ours, jnp.asarray(xy2), jnp.asarray(valid),
+        jnp.asarray([50.0, 20.0], jnp.float32), mc, oc,
+    )
+    np.testing.assert_allclose(np.asarray(ours2), ref2, atol=1e-5)
+
+
+def test_fused_raster_at_map_border(scan_pair):
+    """Corner-clamped window: fused kernel must agree with the oracle (also
+    exercises wedge bboxes clipped against the window edge)."""
+    from icp_slam_yolo_tpu.config import OFFLINE_GATE
+
+    mc, oc = MapConfig(), _fused(OccupancyConfig())
+    pts = oracle.polar_gate(scan_pair[0], OFFLINE_GATE)
+    corner = np.array(
+        [-(mc.width_mm / 2) + 10 * mc.resolution_mm_per_px,
+         (mc.height_mm / 2) - 10 * mc.resolution_mm_per_px])
+    pts_c = pts * 0.2 + corner
+    occ0 = np.full((mc.height_px, mc.width_px), 0.5, np.float64)
+    ref = oracle.update_occupancy(occ0, pts_c, corner, mc, oc)
+
+    n = 512
+    xy = np.zeros((n, 2), np.float32)
+    xy[: len(pts_c)] = pts_c
+    valid = np.zeros(n, bool)
+    valid[: len(pts_c)] = True
+    ours = update_occupancy(
+        jnp.full((mc.height_px, mc.width_px), 0.5, jnp.float32),
+        jnp.asarray(xy), jnp.asarray(valid), jnp.asarray(corner, jnp.float32), mc, oc,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_fused_raster_odd_ray_count_and_early_stop(scan_pair):
+    """Non-32-multiple ray buffers with scattered validity, plus the
+    frozen-probability early stop, through the fused kernel."""
+    from icp_slam_yolo_tpu.config import OFFLINE_GATE
+
+    mc, oc = MapConfig(), _fused(OccupancyConfig())
+    pts = oracle.polar_gate(scan_pair[0], OFFLINE_GATE)[:150]
+    n = 200
+    xy = np.zeros((n, 2), np.float32)
+    valid = np.zeros(n, bool)
+    idx = np.arange(0, n, 2)[: len(pts)]
+    xy[idx] = pts[: len(idx)]
+    valid[idx] = True
+    occ0 = np.full((mc.height_px, mc.width_px), 0.5, np.float64)
+    ref = oracle.update_occupancy(occ0, pts[: len(idx)], np.zeros(2), mc, oc)
+    ours = update_occupancy(
+        jnp.full((mc.height_px, mc.width_px), 0.5, jnp.float32),
+        jnp.asarray(xy), jnp.asarray(valid), jnp.zeros(2, jnp.float32), mc, oc,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+    # early stop: wall across the ray path (see test_early_stop_blocks_ray)
+    mc2 = MapConfig(width_mm=12000.0, height_mm=12000.0, resolution_mm_per_px=30.0)
+    oc2 = _fused(OccupancyConfig(window_px=100, max_ray_px=112))
+    h, w = mc2.height_px, mc2.width_px
+    occ = np.full((h, w), 0.5, np.float32)
+    occ[:, mc2.center_px[0] + 10] = 0.9
+    endpoint = np.asarray([[900.0, 0.0]], np.float32)  # beyond the wall
+    out = np.asarray(update_occupancy(
+        jnp.asarray(occ), jnp.asarray(endpoint), jnp.ones(1, bool),
+        jnp.zeros(2, jnp.float32), mc2, oc2,
+    ))
+    ry, rx = mc2.center_px[1], mc2.center_px[0]
+    assert out[ry, rx + 5] < 0.5
+    assert out[ry, rx + 10] == np.float32(0.9)
+    assert out[ry, rx + 15] == 0.5

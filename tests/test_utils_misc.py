@@ -65,3 +65,23 @@ def test_resize_to_width():
     assert factor == 2.0 and out.shape[:2] == (40, 100)
     small, factor = resize_to_width(img, 400)  # narrower than target: unchanged
     assert factor == 1.0 and small.shape == img.shape
+
+
+def test_resize_to_width_exact_and_load(tmp_path):
+    from icp_slam_yolo_tpu.utils.images import (
+        list_dir_paths, load_resized, resize_to_width_exact,
+    )
+
+    img = np.zeros((80, 200, 3), np.uint8)
+    out, factor = resize_to_width_exact(img, 400)  # upscales, unlike resize_to_width
+    assert factor == 0.5 and out.shape[:2] == (160, 400)
+
+    from PIL import Image
+
+    Image.fromarray(img).save(tmp_path / "a.png")
+    loaded = load_resized(str(tmp_path / "a.png"), (50, 20))
+    assert loaded.shape == (20, 50, 3)
+
+    paths = list_dir_paths(str(tmp_path))
+    assert paths == [str(tmp_path / "a.png")]
+    assert list_dir_paths(str(tmp_path / "missing")) == []
