@@ -149,18 +149,22 @@ def bench_single_pair(src, tgt, n_calls: int = 100):
     return out
 
 
-def bench_sequence(n_scans: int = 300) -> float:
+def bench_sequence(n_scans: int = 300, preset: str | None = None) -> float:
     """Full SLAM loop Hz over a Scan_data_1 prefix (steady-state, compiled).
     `run_sequence` is one jitted `lax.scan` program — a single call IS the
-    in-graph chain; fetching the final pose forces completion."""
+    in-graph chain; fetching the final pose forces completion.
+
+    ``preset`` measures a shipped config (the one the quality numbers are
+    produced with — VERDICT r2: bench the presets you ship); None measures
+    the plain-defaults config for round-over-round comparability."""
     import jax
     import jax.numpy as jnp
 
-    from icp_slam_yolo_tpu.config import SlamConfig
+    from icp_slam_yolo_tpu.config import PRESETS, SlamConfig
     from icp_slam_yolo_tpu.io import scans as scans_io
     from icp_slam_yolo_tpu.slam import pipeline
 
-    cfg = SlamConfig(map_capacity=8192)
+    cfg = (PRESETS[preset] if preset else SlamConfig()).replace(map_capacity=8192)
     scans, _, _ = scans_io.load_sequence("/root/reference/Scan_data_1", 1, n_scans + 1, n_max=cfg.n_max)
     scans = jnp.asarray(scans)
 
@@ -219,6 +223,51 @@ def bench_detect(batch: int = 8, img_size: int = 640, n_calls: int = 8) -> float
     return batch * n_calls / max(tN - base, 1e-9)
 
 
+def bench_train(batch: int = 16, img_size: int = 640, n_calls: int = 4) -> float:
+    """Detect training steps/sec at the reference's config (`train2/args.yaml`
+    batch 16, 640 px).  The reference's 368-epoch run averaged ~8.8 s/epoch =
+    ~4.5 steps/s over 639 images (BASELINE.md row 5); one in-graph chained
+    train step here is the comparable unit of work."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from icp_slam_yolo_tpu.models.train import create_train_state, make_train_step
+    from icp_slam_yolo_tpu.models.yolo import YOLO
+
+    model = YOLO(num_classes=1)
+    tx = optax.sgd(0.01, momentum=0.937)
+    state, tx = create_train_state(model, img_size, tx=tx)
+    step = make_train_step(model, tx, img_size)
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "images": jnp.asarray(rng.uniform(0, 1, (batch, img_size, img_size, 3)), jnp.float32),
+        "boxes": jnp.asarray(
+            np.tile(np.array([[100.0, 100.0, 300.0, 260.0]], np.float32), (batch, 8, 1)).reshape(batch, 8, 4)
+        ),
+        "classes": jnp.zeros((batch, 8), jnp.int32),
+        "valid": jnp.ones((batch, 8), bool),
+    }
+
+    def chain(n):
+        @jax.jit
+        def prog(st, b):
+            def body(_, carry):
+                st, b = carry
+                st, metrics = step(st, b)
+                # data-dependence: perturb the images with the loss scalar
+                b = dict(b, images=b["images"] + metrics["loss"] * 1e-12)
+                return st, b
+            st, b = jax.lax.fori_loop(0, n, body, (st, b))
+            return st.params["stem"]["Conv_0"]["kernel"].sum() + b["images"][0, 0, 0, 0]
+        return prog
+
+    perturb = lambda args, k: (args[0], dict(args[1], images=args[1]["images"] + 1e-6 * k))
+    base = _timed_fetch(chain(0), (state, batch_data), perturb, repeats=3)
+    tN = _timed_fetch(chain(n_calls), (state, batch_data), perturb, repeats=3)
+    return n_calls / max(tN - base, 1e-9)
+
+
 def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
     """Multi-robot fleet throughput: vmapped SLAM over n_robots streams
     (BASELINE.json config 5) — total scans/sec across the fleet."""
@@ -274,10 +323,17 @@ def main():
     if args.all:
         seq_hz = bench_sequence()
         print(f"# full-sequence SLAM loop: {seq_hz:.1f} scans/s (reference target: 10 Hz)", file=sys.stderr)
+        seq_hz_preset = bench_sequence(preset="offline")
+        print(f"# full-sequence SLAM loop (shipped OFFLINE preset, rescue on): {seq_hz_preset:.1f} scans/s", file=sys.stderr)
+        secondary["sequence_scans_per_sec_offline_preset"] = round(seq_hz_preset, 1)
         fps = bench_detect()
         print(f"# YOLO detect: {fps:.1f} FPS @640px (reference cameras: ~10 Hz)", file=sys.stderr)
         fleet = bench_fleet()
         print(f"# fleet SLAM (8 robots, vmapped): {fleet:.1f} scans/s total", file=sys.stderr)
+        train_sps = bench_train()
+        print(f"# detect train step (batch 16, 640px): {train_sps:.2f} steps/s "
+              f"(reference: ~4.5 steps/s, 8.8 s/epoch)", file=sys.stderr)
+        secondary["train_steps_per_sec_b16_640"] = round(train_sps, 2)
         print(f"# baseline (NumPy oracle, CPU): {base:.1f} reg/s", file=sys.stderr)
         print(f"# single-pair (B=1) latency: {pair_ms:.3f} ms converged / {pair_fixed_ms:.3f} ms fixed-50", file=sys.stderr)
         secondary.update(

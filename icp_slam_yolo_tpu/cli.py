@@ -75,7 +75,7 @@ def cmd_serve(args):
             img_size=meta.get("img_size", 640),
             conf_threshold=0.5,
             params=payload,
-            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         )
         stereo = StereoCapture(
             ReplayCamera(args.camera_dir, "anh_1"),
@@ -137,7 +137,7 @@ def cmd_detect(args):
 
     det = Detector(num_classes=args.num_classes, img_size=args.img_size,
                    conf_threshold=args.conf, params=params,
-                   compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+                   compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16)
     for path in args.images:
         out = det(np.asarray(Image.open(path)))
         print(json.dumps({
@@ -273,8 +273,9 @@ def main(argv=None):
     s.add_argument("--camera-dir", default=None, help="stereo frame source (anh_1_*/anh_2_*)")
     s.add_argument("--preset", default="offline", choices=preset_names,
                    help="config preset (the reference's per-script realtime mains)")
-    s.add_argument("--bf16", action="store_true",
-                   help="bfloat16 detector compute (MXU-native; val mAP50-95 0.998 vs 0.996 f32)")
+    s.add_argument("--f32", action="store_true",
+                   help="float32 detector compute (default is MXU-native bfloat16; "
+                        "val mAP50-95 0.998 bf16 vs 0.996 f32)")
     s.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="performance benchmark")
@@ -300,7 +301,7 @@ def main(argv=None):
     d.add_argument("--img-size", type=int, default=640)
     d.add_argument("--num-classes", type=int, default=1)
     d.add_argument("--conf", type=float, default=0.5)
-    d.add_argument("--bf16", action="store_true", help="bfloat16 detector compute")
+    d.add_argument("--f32", action="store_true", help="float32 detector compute (default bfloat16)")
     d.set_defaults(fn=cmd_detect)
 
     rg = sub.add_parser("register", help="pairwise scan registration demo")

@@ -31,7 +31,7 @@ class Detector:
         max_detections: int = 100,
         params=None,
         seed: int = 0,
-        compute_dtype=jnp.float32,
+        compute_dtype=jnp.bfloat16,  # MXU-native inference default; pass jnp.float32 to opt out
     ):
         self.model = YOLO(num_classes=num_classes, variant=variant, task=task, compute_dtype=compute_dtype)
         self.img_size = img_size

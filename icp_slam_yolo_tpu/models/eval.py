@@ -84,9 +84,20 @@ def evaluate_detections(predictions: list[dict], ground_truths: list[dict], iou_
             tps_a, scs_a = np.asarray(tps, bool), np.asarray(scs)
             aps[ci, ti] = average_precision(tps_a, scs_a, n_gt)
             if ti == 0:
-                tp_n = int(tps_a.sum())
-                p50 += tp_n / max(len(tps_a), 1)
-                r50 += tp_n / max(n_gt, 1)
+                # precision/recall at the max-F1 confidence (Ultralytics
+                # semantics — `train2/results.csv` P/R columns): evaluating
+                # the whole conf=0.001 list (needed for AP) would count
+                # sub-threshold false positives no deployment ever sees.
+                order = np.argsort(-scs_a)
+                cum_tp = np.cumsum(tps_a[order])
+                cum_fp = np.cumsum(~tps_a[order])
+                prec = cum_tp / np.maximum(cum_tp + cum_fp, 1e-9)
+                rec = cum_tp / max(n_gt, 1)
+                f1 = 2 * prec * rec / np.maximum(prec + rec, 1e-9)
+                k = int(np.argmax(f1)) if len(f1) else 0
+                if len(f1):
+                    p50 += float(prec[k])
+                    r50 += float(rec[k])
 
     return {
         "precision": float(p50 / len(classes)),

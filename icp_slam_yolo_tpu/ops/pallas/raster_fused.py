@@ -204,6 +204,9 @@ def raster_update_pallas(
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((wh, ww), jnp.float32),
+        # the (R*K, 2*BB) stacked one-hots at BB=256/K=144 need ~22 MB of
+        # scoped VMEM — above the 16 MB default, well under the chip's 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -73,3 +73,47 @@ def test_fused_loop(stereo, scan_sequence):
 
     marks = state.landmark_markers()
     assert len(marks) == 1 and marks[0]["n_obs"] >= 1
+
+
+def test_fused_loop_real_checkpoint_real_images(scan_sequence):
+    """End-to-end with NO fakes: the shipped detect checkpoint on real
+    `/root/reference/camera_data` stereo pairs through ``attach_camera`` —
+    asserts a pallet detection, a plausible stereo depth, and a fused
+    landmark (`mainn.py:135-266` consumes exactly these frames)."""
+    import os
+
+    if not os.path.isdir("/root/reference/camera_data"):
+        pytest.skip("reference camera data unavailable")
+
+    from icp_slam_yolo_tpu.io.checkpoint import load_checkpoint
+    from icp_slam_yolo_tpu.models.detect import Detector
+
+    payload, _, meta = load_checkpoint(
+        os.path.join(os.path.dirname(__file__), "..", "checkpoints", "pallet_detect_640.msgpack")
+    )
+    detector = Detector(
+        num_classes=meta.get("num_classes", 1),
+        img_size=meta.get("img_size", 640),
+        params=payload,
+    )
+    stereo = StereoCapture(
+        ReplayCamera("/root/reference/camera_data", "anh_1"),
+        ReplayCamera("/root/reference/camera_data", "anh_2"),
+        "/tmp/fused_captures",
+    )
+    state = ServerState(CFG, work_dir=".")
+    state.feed_scan(scan_sequence[0])
+    state.attach_camera(detector, stereo, poll_s=0.02)
+    state.camera_trigger = True
+    deadline = time.time() + 120  # first CPU compile of the 640px forward is slow
+    while state.last_camera_data is None and time.time() < deadline:
+        time.sleep(0.2)
+    state.stopped.set()
+
+    assert state.last_camera_data is not None, "no detection on real frames"
+    cd = state.last_camera_data
+    # measured on these frames: disparity ~49 px -> ~200 mm plane depth
+    assert 50.0 < cd["distance_mm"] < 2000.0
+    assert abs(cd["yaw_deg"]) < 90.0
+    marks = state.landmark_markers()
+    assert len(marks) >= 1 and marks[0]["n_obs"] >= 1
