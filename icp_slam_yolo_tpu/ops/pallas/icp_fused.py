@@ -7,33 +7,17 @@ the source scan and target map resident in VMEM for all iterations.  Zero HBM
 traffic between iterations; no XLA per-op dispatch overhead (the jitted XLA
 path issues ~30 small ops per iteration, which dominates at these sizes).
 
-The NN sweep is MXU-resident: because the Gram distance is affine in the
-TARGET operand, the pose transform folds into the tile's right-hand side —
-``G[i,j] = px_i*r0_j + py_i*r1_j + r2_j`` with ``px = c*sx - s*sy + tx`` etc.
-becomes ``G = LHS @ RHS(pose)`` where ``LHS = [sx, sy, 1, 0...]`` ``(S, 8)``
-is STATIC across iterations and ``RHS`` is rebuilt per iteration from the
-precomputed target rows in O(T) VPU work:
-
-    rhs0 =  c*r0 + s*r1
-    rhs1 = -s*r0 + c*r1
-    rhs2 = tx*r0 + ty*r1 + r2        (r0 = -2*tx_j, r1 = -2*ty_j,
-                                      r2 = |t_j|^2 + invalid-penalty)
-
-So the O(S*T) Gram evaluation is one ``(S,8)@(8,T)`` MXU matmul per tile
-instead of ~4 VPU ops per element, and the matched-coordinate extraction is a
-second MXU pass — ``one_hot(argmin) @ [tx; ty]^T`` — instead of 4 more VPU
-sweeps.  What remains on the VPU per element is just the min-reduce and the
-first-minimum one-hot (~6 ops).  Both matmuls run ``precision=HIGHEST``: the
-MXU's default bf16 pass has a ~4e5 mm^2 Gram quantum at arena scale (corrupts
-the argmin) and would round the extracted coordinates to bf16.
-
-Ties in the f32 Gram value are a real hazard: g is quantised at ~1e-7 * |t|^2,
-so *spatially distant* points at similar range can round to the same g, and
-averaging their coordinates would fabricate a midpoint that is not a map point
-at all — the iota argmin keeps exactly one (first) column per tile and the
-first tile across tiles.  Because the Gram form cancels catastrophically at
-arena scale (|t|^2 ~ 2e8 mm^2), the gating/RMSE distance is recomputed exactly
-from the matched coordinates on the cheap per-row column.
+The NN sweep is written in Gram form to minimise VPU work per target element:
+the host precomputes ``t8 = [-2*tx; -2*ty; |t|^2 + penalty]`` (penalty = 1e30
+on invalid slots, folding the validity mask into the distance itself), so each
+tile costs one fused ``G = px*r0 + py*r1 + r2`` evaluation, one min-reduce and
+a first-minimum one-hot extraction — ~12 VPU ops/element instead of the ~16 of
+the naive ``(px-tx)^2+(py-ty)^2`` formulation (whose mask select and two-term
+squared distance the Gram form folds away).  Ties are broken to the first
+column within a tile and the first tile across tiles.  Because
+the Gram form cancels catastrophically at arena scale (|t|^2 ~ 2e8 mm^2), the
+gating/RMSE distance is recomputed exactly from the matched coordinates on the
+cheap per-row column.
 
 Dead work is skipped at two granularities, both via host-precomputed SMEM
 flags costing one scalar branch each:
@@ -42,13 +26,13 @@ flags costing one scalar branch each:
   * SOURCE ROW BLOCKS with no valid scan point — `voxel_downsample` also packs
     its output, so a 512-slot scan buffer holding ~270 live points skips ~40%
     of the sweep.  The Kabsch moments accumulate block-by-block (a dead
-    block's weights would be all-zero anyway).
-These branches stay real scalar branches under ``jax.vmap`` (vmapping a
-pallas_call adds a grid dimension; each lane branches independently) — only
-XLA-level ``lax.cond`` outside the kernel lowers to select when vmapped.
+    block's weights would be all-zero anyway), which also removes the (S, 1)
+    correspondence carries entirely.
 
-Moments are centred before reduction (numerical parity with
-`ops/kabsch.best_fit_se2`) and accumulated in metres.
+Correspondence coordinates are extracted with a select-and-reduce per target
+tile (no dynamic gather, which Mosaic lowers poorly); moments are centred
+before reduction (numerical parity with `ops/kabsch.best_fit_se2`) and
+accumulated in metres.
 
 Output layout (1, 8) f32: ``[tx, ty, cos, sin, rmse_mm, n_inliers, n_iters, 0]``
 (rmse is 1e30 when no inliers survive — the wrapper maps it to +inf; the
@@ -68,44 +52,36 @@ _BIG = 1e30
 _ROW_BLOCK = 64  # source rows per liveness-skippable block (multiple of 8)
 
 
-def _nn_pass(lhs_blk, rhs_ref, t8_ref, live_ref, col, tile_t, n_tiles, skip_dead):
-    """One full NN sweep over one source row block, MXU Gram form.
+def _nn_pass(px, py, t8_ref, live_ref, col, tile_t, n_tiles, skip_dead):
+    """One full NN sweep in Gram form over one source row block.
 
-    Args:
-      lhs_blk: ``(R, 8)`` static source rows ``[sx, sy, 1, 0...]``.
-      rhs_ref: ``(8, T)`` VMEM scratch holding the pose-folded Gram rows
-        (rebuilt once per iteration by ``make_rhs`` — a scratch Ref because
-        Mosaic only lowers ``pl.ds`` tile slices on Refs, not on values).
-      t8_ref: target matrix Ref; rows 3-4 are the raw (centred) coordinates
-        used for match extraction.
-
-    Returns ``(gram min (R,1), matched x (R,1), matched y (R,1))``.
+    Returns ``(exact d2 (R,1), matched x (R,1), matched y (R,1))``.  Ties in
+    the f32 Gram value are a real hazard: g is quantised at ~1e-7 * |t|^2, so
+    *spatially distant* points at similar range can round to the same g, and
+    averaging their coordinates would fabricate a midpoint that is not a map
+    point at all — the iota argmin keeps exactly one (first) column.
     """
+    r = px.shape[0]
     sentinel = jnp.int32(tile_t)
+    zero = jnp.float32(0.0)
 
     def tbody(k, carry):
         def live(carry):
             min_g, mx_acc, my_acc = carry
-            rhs_t = rhs_ref[:, pl.ds(k * tile_t, tile_t)]
-            g = jnp.dot(
-                lhs_blk, rhs_t,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (R, tile)
+            r0 = t8_ref[0:1, pl.ds(k * tile_t, tile_t)]  # -2*tx
+            r1 = t8_ref[1:2, pl.ds(k * tile_t, tile_t)]  # -2*ty
+            r2 = t8_ref[2:3, pl.ds(k * tile_t, tile_t)]  # |t|^2 (+BIG if invalid)
+            g = px * r0 + py * r1 + r2  # d2 - |p|^2, row-constant offset
             tmin = jnp.min(g, axis=1, keepdims=True)
             arg = jnp.min(jnp.where(g <= tmin, col, sentinel), axis=1, keepdims=True)
-            one = (col == arg).astype(jnp.float32)  # exactly one column per row
-            ext_t = t8_ref[3:5, pl.ds(k * tile_t, tile_t)]
-            m = jax.lax.dot_general(
-                one, ext_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (R, 2) matched (tx, ty)
+            one = col == arg  # exactly one column per row (first minimum)
+            mx_t = jnp.sum(jnp.where(one, r0, zero), axis=1, keepdims=True)
+            my_t = jnp.sum(jnp.where(one, r1, zero), axis=1, keepdims=True)
             better = tmin < min_g
             return (
                 jnp.where(better, tmin, min_g),
-                jnp.where(better, m[:, 0:1], mx_acc),
-                jnp.where(better, m[:, 1:2], my_acc),
+                jnp.where(better, mx_t, mx_acc),
+                jnp.where(better, my_t, my_acc),
             )
 
         if not skip_dead:
@@ -113,22 +89,28 @@ def _nn_pass(lhs_blk, rhs_ref, t8_ref, live_ref, col, tile_t, n_tiles, skip_dead
         # dead tiles cost one scalar SMEM branch
         return jax.lax.cond(live_ref[0, k] > 0, live, lambda c: c, carry)
 
-    r = lhs_blk.shape[0]
     init = (
         jnp.full((r, 1), jnp.float32(_BIG)),
         jnp.zeros((r, 1), jnp.float32),
         jnp.zeros((r, 1), jnp.float32),
     )
-    return jax.lax.fori_loop(0, n_tiles, tbody, init)
+    min_g, mx_acc, my_acc = jax.lax.fori_loop(0, n_tiles, tbody, init)
+    mx = mx_acc * jnp.float32(-0.5)  # undo the -2 folded into t8 rows 0/1
+    my = my_acc * jnp.float32(-0.5)
+    # exact distance to the matched point: the Gram value min_g + |p|^2 loses
+    # ~6 digits to cancellation at |p| ~ 1e4 mm, the direct form loses none
+    dx = px - mx
+    dy = py - my
+    d2 = jnp.where(min_g < jnp.float32(_BIG), dx * dx + dy * dy, jnp.float32(_BIG))
+    return d2, mx, my
 
 
 def _icp_kernel(
-    lhs_ref, src_valid_ref, t8_ref, live_ref, rb_live_ref, params_ref, out_ref,
-    rhs_ref,
+    src_ref, src_valid_ref, t8_ref, live_ref, rb_live_ref, params_ref, out_ref,
     *, tile_t: int, iters: int, thr2: float, tol: float, early_exit: bool,
     skip_dead: bool,
 ):
-    s = lhs_ref.shape[0]
+    s = src_ref.shape[0]
     n_tiles = t8_ref.shape[1] // tile_t
     # Liveness skipping works in BOTH regimes: vmapping a pallas_call adds a
     # grid dimension and these lax.cond calls stay real scalar branches per
@@ -148,42 +130,19 @@ def _icp_kernel(
     # exactly sxx/r and sxy/r with r = hypot(sxx, sxy).  The caller converts
     # back to an angle with one atan2 outside the kernel.
 
-    # rows 3-7 of the RHS scratch multiply lhs columns that are identically
-    # zero, but uninitialised VMEM could hold NaN (NaN*0 = NaN corrupts the
-    # Gram) — zero them once; only rows 0-2 are rewritten per iteration.
-    rhs_ref[3:8, :] = jnp.zeros((5, t8_ref.shape[1]), jnp.float32)
-
-    def make_rhs(cth, sth, ptx, pty):
-        """Pose-folded Gram rows -> rhs_ref[0:3]: O(T) VPU work per iteration."""
-        t0 = t8_ref[0:1, :]
-        t1 = t8_ref[1:2, :]
-        t2 = t8_ref[2:3, :]
-        rhs_ref[0:1, :] = cth * t0 + sth * t1
-        rhs_ref[1:2, :] = -sth * t0 + cth * t1
-        rhs_ref[2:3, :] = ptx * t0 + pty * t1 + t2
-
     def block_correspond(start, size, cth, sth, ptx, pty):
         """Transform + NN for one row block; returns (px, py, w, d2, mx, my)."""
-        sx = lhs_ref[start : start + size, 0:1]
-        sy = lhs_ref[start : start + size, 1:2]
+        sx = src_ref[start : start + size, 0:1]
+        sy = src_ref[start : start + size, 1:2]
         sv = src_valid_ref[start : start + size, 0:1]
         px = cth * sx - sth * sy + ptx
         py = sth * sx + cth * sy + pty
-        lhs_blk = lhs_ref[start : start + size, :]
-        min_g, mx, my = _nn_pass(
-            lhs_blk, rhs_ref, t8_ref, live_ref, cols_iota[size], tile_t, n_tiles, skip_dead
-        )
-        # exact distance to the matched point: the Gram value min_g + |p|^2
-        # loses ~6 digits to cancellation at |p| ~ 1e4 mm, the direct form none
-        dx = px - mx
-        dy = py - my
-        d2 = jnp.where(min_g < jnp.float32(_BIG), dx * dx + dy * dy, jnp.float32(_BIG))
+        d2, mx, my = _nn_pass(px, py, t8_ref, live_ref, cols_iota[size], tile_t, n_tiles, skip_dead)
         w = sv * (d2 < thr2).astype(jnp.float32)
         return px, py, w, d2, mx, my
 
     def iter_body(_, carry):
         cth, sth, ptx, pty, prev_err, done, iters_done = carry
-        make_rhs(cth, sth, ptx, pty)
 
         # all eight moment sums per block in ONE MXU reduction, accumulated
         # across live blocks (dead blocks would contribute zero weight).
@@ -192,9 +151,7 @@ def _icp_kernel(
         m = jnp.zeros((1, 8), jnp.float32)
         for b, start, size in blocks:
             def live_block(start=start, size=size):
-                px, py, w, d2, mx, my = block_correspond(
-                    start, size, cth, sth, ptx, pty
-                )
+                px, py, w, d2, mx, my = block_correspond(start, size, cth, sth, ptx, pty)
                 px_m, py_m, mx_m, my_m = px * 1e-3, py * 1e-3, mx * 1e-3, my * 1e-3
                 cols = jnp.concatenate(
                     [
@@ -286,13 +243,10 @@ def _icp_kernel(
         cth, sth, ptx, pty, _, _, n_iters = jax.lax.fori_loop(0, iters, iter_body, init)
 
     # final inlier RMSE at the converged pose (Open3D definition)
-    make_rhs(cth, sth, ptx, pty)
     tot = jnp.zeros((1, 2), jnp.float32)  # [n_inliers, sum w*d2]
     for b, start, size in blocks:
         def live_block(start=start, size=size):
-            _, _, w, d2, _, _ = block_correspond(
-                start, size, cth, sth, ptx, pty
-            )
+            _, _, w, d2, _, _ = block_correspond(start, size, cth, sth, ptx, pty)
             return jnp.dot(
                 jnp.ones((1, size), jnp.float32),
                 jnp.concatenate([w, w * d2], axis=1),
@@ -365,28 +319,14 @@ def icp_fused_pallas(
         [init_pose[0] - cx, init_pose[1] - cy, jnp.cos(init_pose[2]), jnp.sin(init_pose[2])]
     ).reshape(1, 4)
 
-    # Static Gram LHS: [sx, sy, 1, 0...] per source row (pose folds into the
-    # per-iteration RHS built inside the kernel)
-    sxy = src_xy.astype(jnp.float32)
-    lhs = jnp.concatenate(
-        [sxy, jnp.ones((s, 1), jnp.float32), jnp.zeros((s, 5), jnp.float32)], axis=1
-    )  # (S, 8)
-
     # Gram-form target matrix (XLA, once per registration — amortised over all
-    # kernel iterations): rows [-2*tx, -2*ty, |t|^2 + invalid-penalty, tx, ty,
-    # 0, 0, 0].  The penalty replaces the per-iteration validity mask inside
-    # the kernel; rows 3-4 feed the matched-coordinate extraction matmul.
+    # kernel iterations): rows [-2*tx, -2*ty, |t|^2 + invalid-penalty].  The
+    # penalty replaces the per-iteration validity mask inside the kernel.
     txp = tgt_xy[:, 0].astype(jnp.float32) - cx
     typ = tgt_xy[:, 1].astype(jnp.float32) - cy
-    t8 = jnp.concatenate(
-        [
-            jnp.stack(
-                [-2.0 * txp, -2.0 * typ, txp * txp + typ * typ + (1.0 - tvf) * jnp.float32(_BIG),
-                 txp, typ]
-            ),
-            jnp.zeros((3, t), jnp.float32),
-        ]
-    )  # (8, T)
+    t8 = jnp.stack(
+        [-2.0 * txp, -2.0 * typ, txp * txp + typ * typ + (1.0 - tvf) * jnp.float32(_BIG)]
+    )  # (3, T)
     # per-tile and per-source-row-block liveness flags, read as scalars from
     # SMEM inside the kernel (1-D SMEM inputs fail Mosaic block-spec checks
     # under vmap, hence the (1, N) shapes)
@@ -412,12 +352,9 @@ def icp_fused_pallas(
         ],
         # scalar results live in SMEM (Mosaic can't store scalars to VMEM)
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        # pose-folded Gram RHS staged in VMEM scratch so tile slices stay
-        # Ref slices (pl.ds on a value does not lower)
-        scratch_shapes=[pltpu.VMEM((8, t), jnp.float32)],
         interpret=interpret,
     )(
-        lhs,
+        src_xy.astype(jnp.float32),
         src_valid.astype(jnp.float32).reshape(s, 1),
         t8,
         live,
