@@ -284,10 +284,19 @@ def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
         # a grid dimension, and the kernel's scalar SMEM branches remain real
         # per-lane branches (round-2 wrongly assumed cond->select inside the
         # kernel; flipping this alone took the fleet 1305 -> 3813 scans/s).
+        # motion_model halves the mean ICP iteration count on warm tracking.
         icp=IcpConfig(early_exit=True),
-        # the XLA-level cond in the raster DOES lower to select under vmap,
-        # so ray-block skipping stays off for fleets
-        occupancy=OccupancyConfig(window_px=100, max_ray_px=112, skip_dead_rays=False),
+        motion_model=True,
+        # the XLA-level cond in the raster DOES lower to select under vmap, so
+        # ray-block skipping stays off for fleets; backend="xla" because the
+        # fused raster kernel's per-lane cost DOUBLES under vmap (213 vs
+        # 105 us) while the one-hot XLA path batches to 120 us/robot at B=8.
+        # prune_window_margin_px: offline semantics prune every accepted step,
+        # so a 32 px margin (~1 m) over one step's travel is airtight.
+        occupancy=OccupancyConfig(
+            window_px=100, max_ray_px=112, skip_dead_rays=False,
+            backend="xla", prune_window_margin_px=32,
+        ),
         map_capacity=4096,
     )
     scans, _, _ = scans_io.load_sequence("/root/reference/Scan_data_1", 1, n_scans + 1, n_max=cfg.n_max)

@@ -8,10 +8,21 @@ through HBM.  Here they never exist outside VMEM: each 32-ray block builds its
 one-hots on the fly, runs the gather/scatter matmuls, and accumulates the
 free/occupied counts in registers.
 
-Two TPU-specific tricks make the layout work (verified on v5e, see
-docs/PERF.md):
+The kernel's inputs are PER-RAY, not per-sample: the closed-form Bresenham
+sample generation (`ops/raster.bresenham_cells` semantics, itself the exact
+cell sequence of reference `process.py:86-112`) runs *inside* the kernel from
+each ray's endpoint cell.  Profiling showed the XLA-side ``(N, K)`` sample
+materialisation (coords, body/endpoint masks, and four bbox reductions over
+``N*K``) costing more device time than the raster kernel itself — ~140 us per
+sequential SLAM step and ~550 us per 8-robot fleet step — all of which
+collapses into a few ``(32, K)`` register-resident integer ops per block here.
+Wedge bounding boxes likewise derive from the 32 endpoint cells + the robot
+cell (every Bresenham cell lies in the endpoint/robot hull), an O(N) XLA
+reduction instead of O(N*K).
 
-  * **3-D one-hot build + sublane merge.**  Ray-major inputs ``(32, K)`` can't
+TPU-specific notes (verified on v5e, see docs/PERF.md):
+
+  * **3-D one-hot build + sublane merge.**  Ray-major ``(32, K)`` coords can't
     be cheaply flattened to sample-major ``(32*K, 1)`` (lane->sublane
     relayout), but the one-hot compare can run in 3-D — ``(32, K, 1) ==
     iota(32, K, BB)`` — and the ``(32, K, BB) -> (32*K, BB)`` reshape merges
@@ -27,6 +38,11 @@ docs/PERF.md):
     dynamic data-movement primitive).  Rare blocks whose wedge overflows
     ``BB`` take a full-window slow path behind a per-block scalar branch;
     dead blocks (no valid ray) cost one scalar compare.
+  * **Exact integer division on the VPU.**  The Bresenham minor-axis step
+    count needs ``ceil(a / b)`` in int32; TPUs have no integer divide, so the
+    kernel computes an f32 quotient estimate and repairs it with one integer
+    remainder fixup (operands are bounded by ``2*K*window`` << 2^24, so the
+    estimate is within +-1 and a single fixup is exact).
 
 Semantics are identical to the XLA path (`process.py:114-179` frozen-
 probability formulation): per cell, ``p *= decay^n_free_crossings`` then
@@ -46,10 +62,60 @@ from jax.experimental.pallas import tpu as pltpu
 _RAY_BLOCK = 32  # rays per block (wedge granularity)
 
 
+def _floordiv_exact(a, b):
+    """Exact ``a // b`` for int32 arrays with ``b >= 1`` and ``|a| << 2^24``:
+    f32 quotient estimate + one integer remainder fixup."""
+    q = jnp.floor(a.astype(jnp.float32) / b.astype(jnp.float32)).astype(jnp.int32)
+    r = a - q * b
+    return q + jnp.where(r >= b, 1, 0) - jnp.where(r < 0, 1, 0)
+
+
 def _one_hot_3d(coords, n_rays, k, width):
     """``(R, K)`` int32 local coords -> ``(R*K, width)`` bf16 one-hot rows."""
     i3 = jax.lax.broadcasted_iota(jnp.int32, (n_rays, k, width), 2)
     return (coords[:, :, None] == i3).astype(jnp.bfloat16).reshape(n_rays * k, width)
+
+
+def _bresenham_block(blk, rly, rlx, k):
+    """Sample coords + masks for one 32-ray block, from endpoint cells only.
+
+    Args:
+      blk: ``(32, 8)`` int32 ray rows ``[ey, ex, live, ...]`` (window-local).
+      rly/rlx: robot cell (window-local scalars).
+
+    Returns ``(ly, lx, body3, end3)``: ``(32, K)`` int32 coords and
+    ``(32, K, 1)`` f32 masks.  Masked samples (``i > L``) may carry
+    out-of-wedge coords — their one-hot rows are all-zero, contributing
+    nothing downstream.
+    """
+    ey = blk[:, 0:1]
+    ex = blk[:, 1:2]
+    live = blk[:, 2:3] > 0
+    dy = jnp.abs(ey - rly)
+    dx = jnp.abs(ex - rlx)
+    sy = jnp.where(ey >= rly, 1, -1)
+    sx = jnp.where(ex >= rlx, 1, -1)
+    ell = jnp.maximum(dx, dy)
+
+    i = jax.lax.broadcasted_iota(jnp.int32, (_RAY_BLOCK, k), 1)
+
+    def minor_steps(d_minor, d_major):
+        dmaj = jnp.maximum(d_major, 1)
+        a = 2 * i * d_minor - d_major
+        b = 2 * dmaj
+        # max(0, ceil(a / b)) = max(0, floor((a + b - 1) / b))
+        return jnp.maximum(0, _floordiv_exact(a + b - 1, b))
+
+    x_driven = dx > dy  # reference tie-break: `if dx > dy` (process.py:94)
+    ky = minor_steps(dy, dx)  # y-steps when x-driven
+    kx = minor_steps(dx, dy)  # x-steps when y-driven
+    lx = jnp.where(x_driven, rlx + sx * i, rlx + sx * kx)
+    ly = jnp.where(x_driven, rly + sy * ky, rly + sy * i)
+
+    in_ray = (i <= ell) & live
+    body3 = (in_ray & (i < ell)).astype(jnp.float32)[:, :, None]
+    end3 = (in_ray & (i == ell)).astype(jnp.float32)[:, :, None]
+    return ly, lx, body3, end3
 
 
 def _block_counts(ly, lx, body3, end3, bg, n_rays, k, width):
@@ -86,12 +152,14 @@ def _block_counts(ly, lx, body3, end3, bg, n_rays, k, width):
 
 
 def _raster_kernel(
-    meta_ref, ly_ref, lx_ref, body_ref, end_ref, win_ref, out_ref,
+    meta_ref, rays_ref, win_ref, out_ref,
     *, k: int, bb: int, p_occ_inc: float, p_free_decay: float,
     block_threshold: float,
 ):
     wh, ww = win_ref.shape
-    n_blocks = ly_ref.shape[0] // _RAY_BLOCK
+    n_blocks = rays_ref.shape[0] // _RAY_BLOCK
+    rly = meta_ref[3, 0]
+    rlx = meta_ref[4, 0]
     win_p = win_ref[...]
     bg_full = (win_p >= block_threshold).astype(jnp.bfloat16)
 
@@ -105,10 +173,10 @@ def _raster_kernel(
             return free_acc, occ_acc
 
         def fast():
-            ly = ly_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :] - by
-            lx = lx_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :] - bx
-            body3 = body_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :][:, :, None]
-            end3 = end_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :][:, :, None]
+            blk = rays_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :]
+            ly, lx, body3, end3 = _bresenham_block(blk, rly, rlx, k)
+            ly = ly - by
+            lx = lx - bx
             # block-local blocked grid: roll the box corner to the origin and
             # take a static BB x BB slice (dynamic lane slicing is unsupported;
             # roll is the dynamic data-movement primitive Mosaic does have).
@@ -130,10 +198,8 @@ def _raster_kernel(
             return free_acc + free_f, occ_acc + occ_f
 
         def slow():
-            ly = ly_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :]
-            lx = lx_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :]
-            body3 = body_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :][:, :, None]
-            end3 = end_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :][:, :, None]
+            blk = rays_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :]
+            ly, lx, body3, end3 = _bresenham_block(blk, rly, rlx, k)
             # full-window resolution (ww == wh for kernel-eligible windows)
             free_b, occ_b = _block_counts(ly, lx, body3, end3, bg_full, _RAY_BLOCK, k, ww)
             return free_acc + free_b[:wh], occ_acc + occ_b[:wh]
@@ -152,12 +218,13 @@ def _raster_kernel(
 
 def raster_update_pallas(
     win_p: jnp.ndarray,
-    ly: jnp.ndarray,
-    lx: jnp.ndarray,
-    body: jnp.ndarray,
-    endpoint: jnp.ndarray,
+    ey: jnp.ndarray,
+    ex: jnp.ndarray,
     ray_live: jnp.ndarray,
+    rly: jnp.ndarray,
+    rlx: jnp.ndarray,
     *,
+    k: int,
     bb: int,
     p_occ_inc: float,
     p_free_decay: float,
@@ -169,33 +236,54 @@ def raster_update_pallas(
     Args:
       win_p: ``(wh, ww)`` f32 probability window (both multiples of 128 and
         square for the kernel's slow path).
-      ly/lx: ``(N, K)`` int32 window-local cell coords per ray sample; masked
-        samples MUST carry an in-wedge coordinate (the robot cell).
-      body/endpoint: ``(N, K)`` f32 0/1 sample masks (in-window already folded).
-      ray_live: ``(N,)`` bool valid-ray mask (drives dead-block skipping).
+      ey/ex: ``(N,)`` int32 window-local endpoint cells per ray; live rays
+        MUST already lie inside the window (the caller's in-window test).
+      ray_live: ``(N,)`` bool valid-ray mask.
+      rly/rlx: window-local robot cell (scalars).
+      k: static Bresenham sample budget per ray (multiple of 8, > window_px).
       bb: wedge box size (128 or 256), a multiple of 128 with bb <= ww.
 
     Returns the updated ``(wh, ww)`` window.
     """
-    n, k = ly.shape
+    n = ey.shape[0]
     wh, ww = win_p.shape
     assert n % _RAY_BLOCK == 0 and k % 8 == 0, (n, k)
     assert wh % 8 == 0 and ww % 128 == 0 and bb % 128 == 0 and bb <= min(wh, ww)
     n_blocks = n // _RAY_BLOCK
 
-    # per-block wedge stats (XLA, cheap): bbox corner + mode
-    live3 = ray_live.reshape(n_blocks, _RAY_BLOCK)
-    lyb = ly.reshape(n_blocks, _RAY_BLOCK * k)
-    lxb = lx.reshape(n_blocks, _RAY_BLOCK * k)
-    y_min = jnp.min(lyb, axis=1)
-    y_max = jnp.max(lyb, axis=1)
-    x_min = jnp.min(lxb, axis=1)
-    x_max = jnp.max(lxb, axis=1)
+    # per-block wedge stats (XLA, O(N)): every Bresenham cell lies inside the
+    # hull of the robot cell and the block's endpoint cells, so the bbox comes
+    # from endpoints alone; dead rays substitute the robot cell.
+    eyc = jnp.where(ray_live, ey, rly).reshape(n_blocks, _RAY_BLOCK)
+    exc = jnp.where(ray_live, ex, rlx).reshape(n_blocks, _RAY_BLOCK)
+    y_min = jnp.minimum(jnp.min(eyc, axis=1), rly)
+    y_max = jnp.maximum(jnp.max(eyc, axis=1), rly)
+    x_min = jnp.minimum(jnp.min(exc, axis=1), rlx)
+    x_max = jnp.maximum(jnp.max(exc, axis=1), rlx)
     fits = (y_max - y_min < bb) & (x_max - x_min < bb)
     by = jnp.clip(y_min, 0, wh - bb)
     bx = jnp.clip(x_min, 0, ww - bb)
+    live3 = ray_live.reshape(n_blocks, _RAY_BLOCK)
     mode = jnp.where(jnp.any(live3, axis=1), jnp.where(fits, 1, 2), 0)
-    meta = jnp.stack([mode, by, bx]).astype(jnp.int32)  # (3, NB)
+    meta = jnp.stack(
+        [
+            mode,
+            by,
+            bx,
+            jnp.broadcast_to(rly, mode.shape),
+            jnp.broadcast_to(rlx, mode.shape),
+        ]
+    ).astype(jnp.int32)  # (5, NB)
+
+    rays = jnp.concatenate(
+        [
+            ey[:, None],
+            ex[:, None],
+            ray_live[:, None].astype(jnp.int32),
+            jnp.zeros((n, 5), jnp.int32),
+        ],
+        axis=1,
+    ).astype(jnp.int32)  # (N, 8)
 
     kernel = functools.partial(
         _raster_kernel, k=k, bb=bb, p_occ_inc=float(p_occ_inc),
@@ -211,17 +299,11 @@ def raster_update_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(
         meta,
-        ly.astype(jnp.int32),
-        lx.astype(jnp.int32),
-        body.astype(jnp.float32),
-        endpoint.astype(jnp.float32),
+        rays,
         win_p.astype(jnp.float32),
     )

@@ -117,10 +117,15 @@ def _update_occupancy_fused(
 ) -> jnp.ndarray:
     """Prep + dispatch for the fused Pallas raster (`ops/pallas/raster_fused`).
 
-    Same semantics as the XLA path below; the heavy per-sample work moves into
-    one VMEM-resident kernel.  Rays are packed to the front (order-preserving,
-    so consecutive rays still sweep angular wedges) — dead tail blocks then
-    cost one scalar compare each.
+    Same semantics as the XLA path below; ALL per-sample work (Bresenham
+    coords, body/endpoint masks) happens inside the kernel — the host side
+    only computes per-ray endpoint cells and the window slice.  Rays are
+    packed to the front (order-preserving, so consecutive rays still sweep
+    angular wedges) — dead tail blocks then cost one scalar compare each.
+
+    A live ray's endpoint and the robot cell both lie inside the update
+    window, so every Bresenham cell (their hull) does too — the XLA path's
+    per-sample ``cell_in_win`` test is vacuous here and is omitted.
     """
     from icp_slam_yolo_tpu.ops.pallas.raster_fused import raster_update_pallas
     from icp_slam_yolo_tpu.ops.voxel import compact
@@ -144,33 +149,23 @@ def _update_occupancy_fused(
     packed_xy, ray_valid = compact(points_xy, ray_valid, points_xy.shape[0])
     ex, ey = world_to_px(packed_xy, map_cfg)
 
-    cells = bresenham_cells(rx, ry, ex, ey, ray_valid, occ_cfg.max_ray_px)
-    cell_in_win = (cells.px >= x1) & (cells.px < x2) & (cells.py >= y1) & (cells.py < y2)
-    body = cells.body & cell_in_win
-    endpoint = cells.endpoint & cell_in_win
-
     y1s = jnp.clip(ry - win, 0, h - side)
     x1s = jnp.clip(rx - win, 0, w - side)
-    # masked samples take the robot's cell so they never widen a block's wedge
-    active = body | endpoint
-    ly = jnp.where(active, cells.py - y1s, ry - y1s)
-    lx = jnp.where(active, cells.px - x1s, rx - x1s)
+    eyl = ey - y1s
+    exl = ex - x1s
 
     n = points_xy.shape[0]
     n_pad = -(-n // 32) * 32
     if n_pad != n:
-        pad = ((0, n_pad - n), (0, 0))
-        ly = jnp.pad(ly, pad, constant_values=0)
-        lx = jnp.pad(lx, pad, constant_values=0)
-        body = jnp.pad(body, pad)
-        endpoint = jnp.pad(endpoint, pad)
+        eyl = jnp.pad(eyl, (0, n_pad - n), constant_values=0)
+        exl = jnp.pad(exl, (0, n_pad - n), constant_values=0)
         ray_valid = jnp.pad(ray_valid, (0, n_pad - n))
 
     win_p = jax.lax.dynamic_slice(occ, (y1s, x1s), (side, side))
     new_win = raster_update_pallas(
-        win_p, ly, lx,
-        body.astype(jnp.float32), endpoint.astype(jnp.float32), ray_valid,
-        bb=bb, p_occ_inc=occ_cfg.p_occ_inc, p_free_decay=occ_cfg.p_free_decay,
+        win_p, eyl, exl, ray_valid, ry - y1s, rx - x1s,
+        k=occ_cfg.max_ray_px, bb=bb,
+        p_occ_inc=occ_cfg.p_occ_inc, p_free_decay=occ_cfg.p_free_decay,
         block_threshold=occ_cfg.block_threshold, interpret=interpret,
     )
     return jax.lax.dynamic_update_slice(occ, new_win, (y1s, x1s))
@@ -329,3 +324,50 @@ def occupancy_keep_mask(
     rows = jnp.dot(a_hot, keep_grid, preferred_element_type=jnp.bfloat16)  # (N, W), 0/1
     kept = jnp.sum(rows * b_hot, axis=1)  # exactly one nonzero term per row
     return valid & (oob | (kept > 0.5))
+
+
+def prune_keep_mask(
+    points_xy: jnp.ndarray,
+    valid: jnp.ndarray,
+    occ: jnp.ndarray,
+    robot_xy: jnp.ndarray,
+    map_cfg: MapConfig,
+    occ_cfg: OccupancyConfig,
+) -> jnp.ndarray:
+    """Keep-mask for the map prune (`prune_global_map`, `process.py:228-249`).
+
+    With ``occ_cfg.prune_window_margin_px < 0`` this is the exact full-grid
+    lookup (`occupancy_keep_mask`).  With a margin >= 0 the lookup is
+    restricted to the raster window around the robot expanded by the margin:
+    every map point has been checked on each prior prune, occupancy only
+    mutates inside the per-step window, and the margin covers the robot's
+    travel between prunes — so cells outside the expanded window cannot have
+    newly become free and the previous keep-decision (the point's presence)
+    stands.  This cuts the one-hot lookup from grid-width to window-width
+    (the single most expensive op of the SLAM step at 24k-point map scale).
+    """
+    margin = occ_cfg.prune_window_margin_px
+    if margin < 0:
+        return occupancy_keep_mask(points_xy, valid, occ, map_cfg, occ_cfg.free_threshold)
+    h, w = occ.shape
+    win = occ_cfg.window_px + margin
+    ww = min(2 * win, w)
+    wh = min(2 * win, h)
+    rx, ry = world_to_px(robot_xy[None, :], map_cfg)
+    rx, ry = rx[0], ry[0]
+    x1s = jnp.clip(rx - win, 0, w - ww)
+    y1s = jnp.clip(ry - win, 0, h - wh)
+    px, py = world_to_px(points_xy, map_cfg)
+    inside = (px >= x1s) & (px < x1s + ww) & (py >= y1s) & (py < y1s + wh)
+    # grid-OOB points are kept by the full check too (their cell is outside
+    # `inside` whenever the window is interior; at map edges clip keeps parity
+    # because OOB cells clamp onto border cells only when inside is False)
+    lx = jnp.clip(px - x1s, 0, ww - 1)
+    ly = jnp.clip(py - y1s, 0, wh - 1)
+    win_p = jax.lax.dynamic_slice(occ, (y1s, x1s), (wh, ww))
+    keep_grid = (win_p >= occ_cfg.free_threshold).astype(jnp.bfloat16)
+    a_hot = (ly[:, None] == jnp.arange(wh, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    b_hot = (lx[:, None] == jnp.arange(ww, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    rows = jnp.dot(a_hot, keep_grid, preferred_element_type=jnp.bfloat16)
+    kept = jnp.sum(rows * b_hot, axis=1)
+    return valid & (~inside | (kept > 0.5))

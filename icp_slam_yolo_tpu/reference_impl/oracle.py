@@ -203,6 +203,28 @@ def occupancy_keep_mask(points: np.ndarray, occ: np.ndarray, map_cfg, free_thres
     return oob | (occ[pyc, pxc] >= free_threshold)
 
 
+def prune_keep_mask(points: np.ndarray, occ: np.ndarray, robot_xy: np.ndarray, map_cfg, occ_cfg) -> np.ndarray:
+    """Prune keep-mask mirroring `ops/raster.prune_keep_mask`: with
+    ``prune_window_margin_px >= 0`` only points inside the margin-expanded
+    raster window are re-checked (cells elsewhere cannot have changed since
+    the previous prune); ``< 0`` is the exact full-grid check."""
+    margin = occ_cfg.prune_window_margin_px
+    if margin < 0:
+        return occupancy_keep_mask(points, occ, map_cfg, occ_cfg.free_threshold)
+    h, w = occ.shape
+    win = occ_cfg.window_px + margin
+    ww, wh = min(2 * win, w), min(2 * win, h)
+    rx, ry = world_to_px(robot_xy[None, :], map_cfg)
+    rx, ry = int(rx[0]), int(ry[0])
+    x1s = np.clip(rx - win, 0, w - ww)
+    y1s = np.clip(ry - win, 0, h - wh)
+    px, py = world_to_px(points, map_cfg)
+    inside = (px >= x1s) & (px < x1s + ww) & (py >= y1s) & (py < y1s + wh)
+    keep = np.ones(len(points), bool)
+    keep[inside] = occ[py[inside], px[inside]] >= occ_cfg.free_threshold
+    return keep
+
+
 # --- full pipeline --------------------------------------------------------------
 
 @dataclasses.dataclass
@@ -211,6 +233,22 @@ class OracleState:
     map_xy: np.ndarray
     occ: np.ndarray
     prev_xy: np.ndarray | None
+    reject_run: int = 0  # consecutive rejects, drives cfg.reseed_after_rejects
+
+
+def _maybe_reseed(state: OracleState, xy: np.ndarray, accepted: bool, cfg: SlamConfig) -> OracleState:
+    """Recovery reseed mirror of `slam/pipeline._reseed_state`."""
+    if accepted:
+        state.reject_run = 0
+        return state
+    state.reject_run += 1
+    r = cfg.reseed_after_rejects
+    if r <= 0 or cfg.localization_only or state.reject_run < r or len(xy) < cfg.icp.min_points:
+        return state
+    cur = se2_apply(state.pose, xy)
+    occ = np.full((cfg.map.height_px, cfg.map.width_px), 0.5)
+    occ = update_occupancy(occ, cur, state.pose[:2], cfg.map, cfg.occupancy)
+    return OracleState(pose=state.pose.copy(), map_xy=cur.copy(), occ=occ, prev_xy=cur, reject_run=0)
 
 
 def init_state(first_scan: np.ndarray, cfg: SlamConfig) -> OracleState:
@@ -224,6 +262,7 @@ def step(state: OracleState, scan: np.ndarray, cfg: SlamConfig):
     xy = polar_gate(scan, cfg.gate)
     n = len(xy)
     if n < cfg.icp.min_points:
+        state.reject_run += 1  # counted, but too few points to reseed from
         return state, dict(pose=state.pose.copy(), rmse=float("inf"), accepted=False)
 
     d2 = ((state.map_xy - state.pose[:2]) ** 2).sum(-1)
@@ -234,7 +273,9 @@ def step(state: OracleState, scan: np.ndarray, cfg: SlamConfig):
     pose, rmse = icp(src, tgt, state.pose, cfg.icp)
     accepted = rmse <= cfg.icp.max_rmse
     if not accepted:
+        state = _maybe_reseed(state, xy, False, cfg)
         return state, dict(pose=state.pose.copy(), rmse=rmse, accepted=False)
+    state = _maybe_reseed(state, xy, True, cfg)
 
     cur = se2_apply(pose, xy)
     if state.prev_xy is not None and len(state.prev_xy) and len(cur):
@@ -250,7 +291,7 @@ def step(state: OracleState, scan: np.ndarray, cfg: SlamConfig):
         map_xy = voxel_downsample(map_xy, cfg.map_downsample_voxel_mm)
 
     occ = update_occupancy(state.occ, cur, pose[:2], cfg.map, cfg.occupancy)
-    map_xy = map_xy[occupancy_keep_mask(map_xy, occ, cfg.map, cfg.occupancy.free_threshold)]
+    map_xy = map_xy[prune_keep_mask(map_xy, occ, pose[:2], cfg.map, cfg.occupancy)]
     map_xy = map_xy[: cfg.map_capacity]
 
     new = OracleState(pose=pose, map_xy=map_xy, occ=occ, prev_xy=cur)
@@ -294,6 +335,7 @@ def step_realtime(state: OracleState, scan: np.ndarray, cfg: SlamConfig, counter
     if cfg.use_outlier_filter and len(xy):
         xy = xy[statistical_outlier_keep(xy, cfg.outlier_nb_neighbors, cfg.outlier_std_ratio, cfg.n_max)]
     if len(xy) < cfg.icp.min_points:
+        state.reject_run += 1  # counted, but too few points to reseed from
         return state, dict(pose=state.pose.copy(), rmse=float("inf"), accepted=False), counter
 
     d2 = ((state.map_xy - state.pose[:2]) ** 2).sum(-1)
@@ -323,12 +365,16 @@ def step_realtime(state: OracleState, scan: np.ndarray, cfg: SlamConfig, counter
 
     counter += 1
     if counter % 10 == 0:
-        map_xy = map_xy[occupancy_keep_mask(map_xy, occ, cfg.map, cfg.occupancy.free_threshold)]
+        map_xy = map_xy[prune_keep_mask(map_xy, occ, new_pose[:2], cfg.map, cfg.occupancy)]
         if len(map_xy) > cfg.map_downsample_trigger:
             map_xy = voxel_downsample(map_xy, cfg.map_downsample_voxel_mm)
     map_xy = map_xy[: cfg.map_capacity]
 
-    new = OracleState(pose=new_pose.copy(), map_xy=map_xy, occ=occ, prev_xy=cur)
+    new = OracleState(
+        pose=new_pose.copy(), map_xy=map_xy, occ=occ, prev_xy=cur,
+        reject_run=state.reject_run,
+    )
+    new = _maybe_reseed(new, xy, accepted, cfg)
     return new, dict(pose=new_pose.copy(), rmse=rmse, accepted=accepted), counter
 
 

@@ -278,6 +278,7 @@ class ServerState:
             prev_valid=jnp.zeros(cfg.n_max, bool),
             step=jnp.int32(0),
             maint_count=jnp.int32(0),
+            reject_run=jnp.int32(0),
         )
 
     def _fill_map_points(self, pts_xy: np.ndarray) -> None:

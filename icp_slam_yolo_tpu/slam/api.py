@@ -126,6 +126,8 @@ class Slam:
         data = np.load(path if path.endswith(".npz") else path + ".npz")
         fields = {k: jnp.asarray(data[k]) for k in data.files}
         # checkpoints written before the motion-model field default to the
-        # static init (prev_pose == pose)
+        # static init (prev_pose == pose); pre-reseed checkpoints default to
+        # a zero reject run
         fields.setdefault("prev_pose", fields["pose"])
+        fields.setdefault("reject_run", jnp.int32(0))
         self.state = pipeline.SlamState(**fields)

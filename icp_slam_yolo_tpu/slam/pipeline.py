@@ -30,7 +30,7 @@ from icp_slam_yolo_tpu.config import MAP_MAINTENANCE_INTERVAL, SlamConfig
 from icp_slam_yolo_tpu.core.registration import icp_masked
 from icp_slam_yolo_tpu.ops import geometry as geo
 from icp_slam_yolo_tpu.ops.outliers import dynamic_points_mask, statistical_outlier_mask
-from icp_slam_yolo_tpu.ops.raster import occupancy_keep_mask, update_occupancy
+from icp_slam_yolo_tpu.ops.raster import occupancy_keep_mask, prune_keep_mask, update_occupancy
 from icp_slam_yolo_tpu.ops.voxel import compact, voxel_downsample
 
 
@@ -47,6 +47,8 @@ class SlamState(NamedTuple):
     step: jnp.ndarray        # int32 scan counter (every scan)
     maint_count: jnp.ndarray  # int32 processed-scan counter for the every-10-
     # scans maintenance (`mainn.py:342`; skipped scans don't count)
+    reject_run: jnp.ndarray  # int32 consecutive-reject counter driving the
+    # optional recovery reseed (`cfg.reseed_after_rejects`)
 
 
 class StepOutput(NamedTuple):
@@ -76,6 +78,22 @@ def init_state(first_scan: jnp.ndarray, cfg: SlamConfig = SlamConfig()) -> SlamS
         prev_valid=jnp.zeros(xy.shape[0], bool),
         step=jnp.int32(0),
         maint_count=jnp.int32(0),
+        reject_run=jnp.int32(0),
+    )
+
+
+def _reseed_state(state: SlamState, xy, valid, cfg: SlamConfig) -> SlamState:
+    """Recovery reseed (extension beyond the reference, see
+    `cfg.reseed_after_rejects`): rebuild map + occupancy from the current
+    gated scan at the held pose, exactly like `init_state` but mid-sequence."""
+    cur = geo.se2_apply(state.pose, xy)
+    cap = cfg.map_capacity
+    map_xy = jnp.zeros((cap, 2), jnp.float32).at[: cur.shape[0]].set(cur)
+    map_valid = jnp.zeros(cap, bool).at[: cur.shape[0]].set(valid)
+    occ = jnp.full((cfg.map.height_px, cfg.map.width_px), 0.5, jnp.float32)
+    occ = update_occupancy(occ, cur, valid, state.pose[:2], cfg.map, cfg.occupancy)
+    return state._replace(
+        map_xy=map_xy, map_valid=map_valid, occ=occ, prev_xy=cur, prev_valid=valid,
     )
 
 
@@ -159,7 +177,7 @@ def make_step(cfg: SlamConfig = SlamConfig()):
             big_valid = jnp.where(over, ds_map_valid, big_valid)
 
             occ = update_occupancy(state.occ, cur_xy, cur_valid, pose[:2], cfg.map, cfg.occupancy)
-            big_valid = occupancy_keep_mask(big_xy, big_valid, occ, cfg.map, cfg.occupancy.free_threshold)
+            big_valid = prune_keep_mask(big_xy, big_valid, occ, pose[:2], cfg.map, cfg.occupancy)
             map_xy, map_valid = compact(big_xy, big_valid, cfg.map_capacity)
 
             return SlamState(
@@ -172,6 +190,7 @@ def make_step(cfg: SlamConfig = SlamConfig()):
                 prev_valid=cur_valid,
                 step=state.step + 1,
                 maint_count=state.maint_count + 1,
+                reject_run=state.reject_run,
             )
 
         def no_update(op):
@@ -198,6 +217,14 @@ def make_step(cfg: SlamConfig = SlamConfig()):
             )
         else:
             new_state = jax.lax.cond(accepted, do_update, no_update, (state, res.pose))
+
+        if cfg.reseed_after_rejects > 0 and not cfg.localization_only:
+            run = jnp.where(accepted, jnp.int32(0), state.reject_run + 1)
+            need = (~accepted) & enough & (run >= cfg.reseed_after_rejects)
+            new_state = jax.lax.cond(
+                need, lambda s: _reseed_state(s, xy, valid, cfg), lambda s: s, new_state
+            )
+            new_state = new_state._replace(reject_run=jnp.where(need, 0, run))
 
         out = StepOutput(pose=new_state.pose, rmse=res.rmse, accepted=accepted, n_points=n_points)
         return new_state, out
@@ -237,7 +264,7 @@ def _realtime_update(state: SlamState, xy, valid, res, accepted, cfg: SlamConfig
     # periodic maintenance (counts only processed scans, `mainn.py:342`)
     new_maint = state.maint_count + 1
     do_maint = (new_maint % MAP_MAINTENANCE_INTERVAL) == 0
-    pruned_valid = occupancy_keep_mask(big_xy, big_valid, occ, cfg.map, cfg.occupancy.free_threshold)
+    pruned_valid = prune_keep_mask(big_xy, big_valid, occ, pose[:2], cfg.map, cfg.occupancy)
     maint_valid = jnp.where(do_maint, pruned_valid, big_valid)
     ds_xy, ds_valid = voxel_downsample(big_xy, maint_valid, cfg.map_downsample_voxel_mm)
     over = do_maint & (jnp.sum(maint_valid) > cfg.map_downsample_trigger)
@@ -255,6 +282,7 @@ def _realtime_update(state: SlamState, xy, valid, res, accepted, cfg: SlamConfig
         prev_valid=cur_valid,
         step=state.step + 1,
         maint_count=new_maint,
+        reject_run=state.reject_run,
     )
 
 

@@ -1,12 +1,24 @@
-"""Full-sequence quality gate: replay all of Scan_data_1 and enforce thresholds.
+"""Full-sequence quality gate: replay BOTH reference datasets and enforce thresholds.
 
 Short-prefix tests cannot catch capacity-dependent regressions (a local-map
 cap looked fine for 300 scans and collapsed acceptance at scan ~400+), so this
-runs the COMPLETE dataset in both modes and fails loudly if acceptance or
-median inlier RMSE regress.  Run on TPU after any change to the pipeline, map
-buffers, or kernels:
+runs the COMPLETE datasets and fails loudly if acceptance or median inlier
+RMSE regress.  Run on TPU after any change to the pipeline, map buffers, or
+kernels:
 
     PYTHONPATH=/root/.axon_site:/root/repo python scripts/quality_check.py
+
+Jobs (all gated ~5% below measured):
+  * Scan_data_1 (1,800 scans) under the shipped offline + realtime presets.
+  * scan_data_3 (2,043 scans) under the `robust` preset, seeded from scan_0 —
+    the dataset's stale first scan (captured ~175 mm / 1.3 deg away from the
+    rest of the stream) poisons a reference-faithful replay, which is exactly
+    what the preset's reseed recovery is for.  The reference's own offline
+    gate settings (min_dist 0, no outlier filter) collapse on this dataset
+    even in the float64 oracle (<1% acceptance): its sub-1-m returns are
+    garbage, so only the hardened preset is gated here.
+
+Use --job/--data/--start/--end/--no-gates for ad-hoc A/B replays.
 """
 
 import json
@@ -15,51 +27,64 @@ import time
 
 import numpy as np
 
-# gates set ~5% below the measured results
-GATES = {
-    "offline": {"min_accept_rate": 0.94, "max_median_rmse": 25.0},   # measured 0.995 / 20.6 (r2)
-    "realtime": {"min_accept_rate": 0.94, "max_median_rmse": 25.0},  # measured 0.996 / 18.3 (r2, GICP rescue default)
+# job: (dataset dir, start idx, end idx, preset name, gates)
+JOBS = {
+    "offline": ("/root/reference/Scan_data_1", 1, 1801, "offline",
+                {"min_accept_rate": 0.94, "max_median_rmse": 25.0}),   # measured 0.994 / 20.4 (r3)
+    "realtime": ("/root/reference/Scan_data_1", 1, 1801, "realtime",
+                 {"min_accept_rate": 0.94, "max_median_rmse": 25.0}),  # measured 0.997 / 17.3 (r3)
+    "scan3_robust": ("/root/reference/scan_data_3", 0, 2043, "robust",
+                     {"min_accept_rate": 0.94, "max_median_rmse": 23.0}),  # measured 0.991 / 18.4 (r3)
 }
 
 
 def main():
     import argparse
+    import dataclasses
 
     import icp_slam_yolo_tpu as slam
+    from icp_slam_yolo_tpu.config import PRESETS
     from icp_slam_yolo_tpu.io import scans as scans_io
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--jobs", default=",".join(JOBS), help="comma-separated job names")
     ap.add_argument("--estimator", default=None, help="override IcpConfig.estimator (A/B runs)")
     ap.add_argument("--rescue", default=None, help="override IcpConfig.rescue_estimator")
     ap.add_argument("--gicp-epsilon", type=float, default=None)
     ap.add_argument("--motion-model", action="store_true", help="constant-velocity ICP init")
-    ap.add_argument("--modes", default="offline,realtime")
-    ap.add_argument("--data", default="/root/reference/Scan_data_1")
-    ap.add_argument("--start", type=int, default=1)
+    ap.add_argument("--data", default=None, help="override dataset dir (ad-hoc replays)")
+    ap.add_argument("--start", type=int, default=None)
+    ap.add_argument("--end", type=int, default=None)
     ap.add_argument("--no-gates", action="store_true",
                     help="report only (for datasets without calibrated gates)")
-    ap.add_argument("--end", type=int, default=1801)
     args = ap.parse_args()
 
-    scans, _, _ = scans_io.load_sequence(args.data, args.start, args.end, n_max=512)
     results = {}
     failed = False
-    all_cfgs = {"offline": slam.OFFLINE_CONFIG, "realtime": slam.REALTIME_CONFIG}
-    for mode in args.modes.split(","):
-        cfg = all_cfgs[mode]
-        if args.estimator or args.rescue is not None or args.gicp_epsilon is not None:
-            import dataclasses
+    loaded: dict[tuple, object] = {}
+    for job in args.jobs.split(","):
+        data, start, end, preset, gates = JOBS[job]
+        data = args.data or data
+        start = args.start if args.start is not None else start
+        end = args.end if args.end is not None else end
+        key = (data, start, end)
+        if key not in loaded:
+            loaded[key], _, _ = scans_io.load_sequence(data, start, end, n_max=512)
+        scans = loaded[key]
 
-            kw = {}
-            if args.estimator:
-                kw["estimator"] = args.estimator
-            if args.rescue is not None:
-                kw["rescue_estimator"] = args.rescue
-            if args.gicp_epsilon is not None:
-                kw["gicp_epsilon"] = args.gicp_epsilon
+        cfg = PRESETS[preset]
+        kw = {}
+        if args.estimator:
+            kw["estimator"] = args.estimator
+        if args.rescue is not None:
+            kw["rescue_estimator"] = args.rescue
+        if args.gicp_epsilon is not None:
+            kw["gicp_epsilon"] = args.gicp_epsilon
+        if kw:
             cfg = cfg.replace(icp=dataclasses.replace(cfg.icp, **kw))
         if args.motion_model:
             cfg = cfg.replace(motion_model=True)
+
         eng = slam.Slam(cfg)
         t0 = time.time()
         _, outs = eng.run(scans)
@@ -73,14 +98,14 @@ def main():
             "map_points": int(len(eng.map_points())),
             "seconds": round(dt, 1),
         }
-        g = GATES[mode] if not args.no_gates else {"min_accept_rate": 0.0, "max_median_rmse": 1e9}
+        g = gates if not args.no_gates else {"min_accept_rate": 0.0, "max_median_rmse": 1e9}
         res["pass"] = (
             res["accept_rate"] >= g["min_accept_rate"]
             and res["median_rmse_mm"] <= g["max_median_rmse"]
         )
         failed |= not res["pass"]
-        results[mode] = res
-        print(f"{mode}: {json.dumps(res)}", flush=True)
+        results[job] = res
+        print(f"{job}: {json.dumps(res)}", flush=True)
     print("QUALITY GATE:", "FAIL" if failed else "PASS")
     sys.exit(1 if failed else 0)
 

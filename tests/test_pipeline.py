@@ -97,3 +97,37 @@ def test_reject_leaves_state_unchanged(scan_sequence):
     np.testing.assert_array_equal(np.asarray(new_state.pose), np.asarray(state.pose))
     np.testing.assert_array_equal(np.asarray(new_state.map_valid), np.asarray(state.map_valid))
     assert int(new_state.step) == int(state.step) + 1
+
+
+def _synth_scan(radius_fn, n=280):
+    """Synthetic polar scan rows [quality, angle_deg, distance_mm]."""
+    ang = np.linspace(0.0, 359.0, n)
+    dist = radius_fn(np.deg2rad(ang))
+    return np.stack([np.full(n, 20.0), ang, dist], axis=1)
+
+
+def test_reseed_recovers_from_poisoned_seed():
+    """`reseed_after_rejects`: a seed scan from a disjoint geometry rejects
+    every subsequent scan until the reseed rebuilds the map from the live
+    stream (scan_data_3's stale scan_0 in miniature).  Oracle agrees."""
+    from icp_slam_yolo_tpu.config import MapConfig
+
+    cfg = SlamConfig(
+        map=MapConfig(width_mm=12000.0, height_mm=12000.0),
+        map_capacity=2048,
+        reseed_after_rejects=3,
+    )
+    room_a = _synth_scan(lambda t: 3000.0 + 500.0 * np.cos(3 * t))
+    room_b = _synth_scan(lambda t: 1800.0 + 700.0 * np.sin(2 * t + 1.0))
+    seq = [room_a] + [room_b] * 8
+    padded = scans_io.collate(seq, cfg.n_max)
+    state, outs = pipeline.run_sequence(jnp.asarray(padded), cfg)
+    acc = np.asarray(outs.accepted)
+    assert not acc[:3].any(), "disjoint geometry must reject"
+    assert acc[3:].all(), "post-reseed scans must register to the reseeded map"
+    # reseeded map is room_b's geometry: a fresh room_b registers at ~zero error
+    rm = np.asarray(outs.rmse)
+    assert rm[-1] < 5.0
+
+    _, _, _, oacc = oracle.run_sequence(padded.astype(np.float64), cfg)
+    np.testing.assert_array_equal(acc, oacc)

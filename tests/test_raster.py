@@ -87,6 +87,35 @@ def test_occupancy_keep_mask():
     assert list(np.asarray(keep)) == [False, True, True]  # free cell dropped, OOB kept
 
 
+def test_prune_keep_mask_windowed_matches_full():
+    """With a margin, points inside the expanded window get the exact check
+    and points outside are kept; agrees with the oracle's windowed variant."""
+    import dataclasses
+
+    from icp_slam_yolo_tpu.ops.raster import prune_keep_mask
+
+    mc = MapConfig()
+    oc = dataclasses.replace(OccupancyConfig(), prune_window_margin_px=32)
+    occ = np.full((mc.height_px, mc.width_px), 0.5, np.float32)
+    occ[416, 600] = 0.05      # free cell inside the window (robot at origin)
+    occ[100, 100] = 0.05      # free cell far outside the window
+    pts = np.asarray(
+        [[3000.0, 0.0],                     # inside window, free cell -> drop
+         [0.0, 3000.0],                     # inside window, unknown -> keep
+         [(100 - 500) * 30.0, (416 - 100) * 30.0],  # outside window, free -> KEPT (windowed)
+         [10.0**6, 0.0]],                   # grid OOB -> keep
+        np.float32)
+    robot = np.zeros(2, np.float32)
+    keep = prune_keep_mask(jnp.asarray(pts), jnp.ones(4, bool), jnp.asarray(occ), jnp.asarray(robot), mc, oc)
+    assert list(np.asarray(keep)) == [False, True, True, True]
+    ref = oracle.prune_keep_mask(pts.astype(np.float64), occ.astype(np.float64), robot.astype(np.float64), mc, oc)
+    assert list(np.asarray(keep)) == list(ref)
+    # full-grid mode drops the far free-cell point too
+    oc_full = dataclasses.replace(oc, prune_window_margin_px=-1)
+    keep_full = prune_keep_mask(jnp.asarray(pts), jnp.ones(4, bool), jnp.asarray(occ), jnp.asarray(robot), mc, oc_full)
+    assert list(np.asarray(keep_full)) == [False, True, False, True]
+
+
 def test_update_occupancy_at_map_border(scan_pair):
     """Robot near the map corner: the clamped-origin window and edge-shrunk
     reference window must still agree (exercises the one-hot matmul paths
