@@ -190,8 +190,13 @@ def _measure_fetch_overhead() -> float:
     return _timed_fetch(trivial, (z,), lambda a, k: (a[0] + k,), repeats=4)
 
 
-def bench_detect(batch: int = 8, img_size: int = 640, n_calls: int = 8) -> float:
-    """YOLO detect frames/sec (jitted conv + decode + NMS), in-graph chained."""
+def bench_detect(batch: int = 8, img_size: int = 640, n_calls: int = 8):
+    """YOLO detect frames/sec (jitted conv + decode + NMS), in-graph chained.
+
+    Returns ``(fps, model_gflop_per_image, achieved_tflops, mfu)``: the FLOP
+    count comes from XLA's own cost analysis of the compiled forward program,
+    and MFU is measured against the v5e's 394 TFLOP/s bf16 peak (197 if the
+    compute dtype resolves to f32)."""
     import jax
     import jax.numpy as jnp
 
@@ -220,7 +225,16 @@ def bench_detect(batch: int = 8, img_size: int = 640, n_calls: int = 8) -> float
     perturb = lambda args, k: (args[0] + 1e-6 * k,)
     base = _timed_fetch(chain(0), (x,), perturb, repeats=3)
     tN = _timed_fetch(chain(n_calls), (x,), perturb, repeats=3)
-    return batch * n_calls / max(tN - base, 1e-9)
+    fps = batch * n_calls / max(tN - base, 1e-9)
+
+    try:
+        cost = jax.jit(lambda im: one(im).boxes).lower(x).compile().cost_analysis()
+        flops_per_img = float(cost.get("flops", 0.0)) / batch
+    except Exception:  # cost analysis is backend-dependent; FPS still stands
+        flops_per_img = 0.0
+    achieved = fps * flops_per_img / 1e12
+    peak = 394.0 if "bfloat16" in str(det.model.compute_dtype) else 197.0
+    return fps, flops_per_img / 1e9, achieved, achieved / peak
 
 
 def bench_train(batch: int = 16, img_size: int = 640, n_calls: int = 4) -> float:
@@ -288,14 +302,16 @@ def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
         icp=IcpConfig(early_exit=True),
         motion_model=True,
         # the XLA-level cond in the raster DOES lower to select under vmap, so
-        # ray-block skipping stays off for fleets; backend="xla" because the
-        # fused raster kernel's per-lane cost DOUBLES under vmap (213 vs
-        # 105 us) while the one-hot XLA path batches to 120 us/robot at B=8.
+        # ray-block skipping stays off for fleets.  backend="fused": in the
+        # real pipeline the vmapped raster kernel runs at ~41 us/lane (B=8
+        # fleet 5697 scans/s vs 3807 with the XLA one-hot path) — a
+        # standalone chained microbench shows the opposite ranking, an
+        # artifact of carrying 8 full grids through its fori_loop.
         # prune_window_margin_px: offline semantics prune every accepted step,
         # so a 32 px margin (~1 m) over one step's travel is airtight.
         occupancy=OccupancyConfig(
             window_px=100, max_ray_px=112, skip_dead_rays=False,
-            backend="xla", prune_window_margin_px=32,
+            backend="fused", prune_window_margin_px=32,
         ),
         map_capacity=4096,
     )
@@ -335,8 +351,13 @@ def main():
         seq_hz_preset = bench_sequence(preset="offline")
         print(f"# full-sequence SLAM loop (shipped OFFLINE preset, rescue on): {seq_hz_preset:.1f} scans/s", file=sys.stderr)
         secondary["sequence_scans_per_sec_offline_preset"] = round(seq_hz_preset, 1)
-        fps = bench_detect()
-        print(f"# YOLO detect: {fps:.1f} FPS @640px (reference cameras: ~10 Hz)", file=sys.stderr)
+        fps, gflop_img, tflops, mfu = bench_detect()
+        print(f"# YOLO detect: {fps:.1f} FPS @640px bf16 ({gflop_img:.1f} GFLOP/img, "
+              f"{tflops:.1f} TFLOP/s achieved, {mfu*100:.1f}% MFU; reference cameras: ~10 Hz)",
+              file=sys.stderr)
+        secondary["detect_gflop_per_image"] = round(gflop_img, 2)
+        secondary["detect_achieved_tflops"] = round(tflops, 2)
+        secondary["detect_mfu"] = round(mfu, 4)
         fleet = bench_fleet()
         print(f"# fleet SLAM (8 robots, vmapped): {fleet:.1f} scans/s total", file=sys.stderr)
         train_sps = bench_train()

@@ -184,18 +184,18 @@ def _raster_kernel(
             rolled = pltpu.roll(pltpu.roll(win_p, wh - by, 0), ww - bx, 1)[:bb, :bb]
             bg = (rolled >= block_threshold).astype(jnp.bfloat16)
             free_b, occ_b = _block_counts(ly, lx, body3, end3, bg, _RAY_BLOCK, k, bb)
-            # place the BB x BB contribution back at (by, bx) with two rolls
-            pad_y = jnp.zeros((wh - bb, bb), jnp.float32)
-            pad_x = jnp.zeros((wh, ww - bb), jnp.float32)
-            free_f = jnp.concatenate(
-                [jnp.concatenate([free_b, pad_y], axis=0), pad_x], axis=1
-            )
-            occ_f = jnp.concatenate(
-                [jnp.concatenate([occ_b, pad_y], axis=0), pad_x], axis=1
-            )
-            free_f = pltpu.roll(pltpu.roll(free_f, by, 0), bx, 1)
-            occ_f = pltpu.roll(pltpu.roll(occ_f, by, 0), bx, 1)
-            return free_acc + free_f, occ_acc + occ_f
+
+            # place the BB x BB contribution back at (by, bx) with two rolls;
+            # zero-size pads are invalid vectors in Mosaic, so skip each
+            # concat when the box already spans that window dimension
+            def expand(m):
+                if wh > bb:
+                    m = jnp.concatenate([m, jnp.zeros((wh - bb, bb), jnp.float32)], axis=0)
+                if ww > bb:
+                    m = jnp.concatenate([m, jnp.zeros((wh, ww - bb), jnp.float32)], axis=1)
+                return pltpu.roll(pltpu.roll(m, by, 0), bx, 1)
+
+            return free_acc + expand(free_b), occ_acc + expand(occ_b)
 
         def slow():
             blk = rays_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :]

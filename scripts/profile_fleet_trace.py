@@ -25,7 +25,11 @@ N = 100
 cfg = SlamConfig(
     map=MapConfig(width_mm=12000.0, height_mm=12000.0),
     icp=IcpConfig(early_exit=True),
-    occupancy=OccupancyConfig(window_px=100, max_ray_px=112, skip_dead_rays=False),
+    motion_model=True,
+    occupancy=OccupancyConfig(
+        window_px=100, max_ray_px=112, skip_dead_rays=False,
+        backend="fused", prune_window_margin_px=32,
+    ),
     map_capacity=4096,
 )
 
