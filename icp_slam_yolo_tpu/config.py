@@ -210,8 +210,13 @@ class SlamConfig:
 # 20.92 -> 20.68 mm; the rescue only executes on the ~0.7% rejected scans).
 # eps=0.1 outperformed Segal's 1e-3 here: 2-D corridor tangents need more
 # isotropic anchoring than 3-D planes.
+# prune_window_margin_px=32: offline prunes every accepted step, so 32 px
+# (~1 m) over one step's travel is airtight; the full-1800 quality gate
+# replays identically with it on, and it removes the step's biggest op
+# (the full-grid prune lookup over a 24k-point map).
 OFFLINE_CONFIG = SlamConfig(
     icp=IcpConfig(rescue_estimator="gicp", gicp_epsilon=0.1),
+    occupancy=OccupancyConfig(prune_window_margin_px=32),
 )
 
 # Realtime: same GICP second-chance as offline (full-1800 A/B: acceptance
@@ -225,6 +230,9 @@ REALTIME_CONFIG = SlamConfig(
     gate=REALTIME_GATE,
     icp=IcpConfig(threshold_mm=180.0, voxel_size_mm=20.0,   # `Config.py:11,24`
                   rescue_estimator="gicp", gicp_epsilon=0.1),
+    # realtime prunes every MAP_MAINTENANCE_INTERVAL (10) steps: the 64 px
+    # margin (1.92 m) covers 10 steps of travel at ~190 mm/step
+    occupancy=OccupancyConfig(prune_window_margin_px=64),
     motion_model=True,
     local_map_radius_mm=9000.0,
     dynamic_distance_mm=300.0,
@@ -245,6 +253,12 @@ REALTIME_CONFIG = SlamConfig(
 ROBUST_CONFIG = REALTIME_CONFIG.replace(
     gate=GateConfig(min_dist_mm=1000.0, max_dist_mm=9000.0, min_quality=13.0),
     icp=dataclasses.replace(REALTIME_CONFIG.icp, max_iterations=100),
+    # scan_data_3 moves up to ~204 mm/step, so 10 maintenance steps can
+    # exceed the realtime preset's 64 px margin (1.92 m): stale junk then
+    # survives the windowed prune, seeds reject clusters, and the reseed
+    # recovery fires spuriously (measured: acceptance 99.1% -> 96.2%, final
+    # map 21.5k -> 3.3k points).  128 px (3.84 m) restores the invariant.
+    occupancy=OccupancyConfig(prune_window_margin_px=128),
     reseed_after_rejects=10,
 )
 
@@ -259,6 +273,9 @@ REALTIME_1_CONFIG = REALTIME_CONFIG.replace(
     # `realtime_1.py:157-169`: no front-arc filter, d < 5000; 5 m map @ 5 mm
     gate=GateConfig(min_dist_mm=0.0, max_dist_mm=5000.0, min_quality=10.0, front_arc_only=False),
     map=MapConfig(width_mm=5000.0, height_mm=5000.0, resolution_mm_per_px=5.0),
+    # at 5 mm/px the inherited 64 px margin is only 0.32 m — NOT enough to
+    # cover 10 steps of travel, so this preset keeps the exact full-grid prune
+    occupancy=OccupancyConfig(prune_window_margin_px=-1),
 )
 REALTIME_2_CONFIG = REALTIME_CONFIG  # `realtime_2.py` uses the 30 m @ 30 mm geometry
 
