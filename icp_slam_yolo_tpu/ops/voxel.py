@@ -18,7 +18,10 @@ import jax.numpy as jnp
 
 _OFF = 4096          # voxel-index offset: supports coordinates in [-OFF, OFF) voxels
 _STRIDE = 2 * _OFF   # row stride of the flattened voxel key
-_SENTINEL = 2**30  # plain int: avoid import-time backend initialisation
+# invalid-point key: sorts after every real key (real keys < _STRIDE^2 = 2^26)
+# while leaving headroom to pack a segment-end flag bit above it (see
+# voxel_downsample's second sort)
+_SENTINEL = 2**26  # plain int: avoid import-time backend initialisation
 
 
 def voxel_keys(xy: jnp.ndarray, valid: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
@@ -57,7 +60,10 @@ def voxel_downsample(xy: jnp.ndarray, valid: jnp.ndarray, voxel_size: float):
     w = valid.astype(jnp.float32)
     xw = xy[:, 0] * w
     yw = xy[:, 1] * w
-    k, xs, ys, ws = jax.lax.sort((key, xw, yw, w), num_keys=1, is_stable=True)
+    # the 0/1 weight needs no sort lane of its own: a sorted slot is valid
+    # exactly when its key is not the sentinel
+    k, xs, ys = jax.lax.sort((key, xw, yw), num_keys=1, is_stable=True)
+    ws = (k != _SENTINEL).astype(jnp.float32)
 
     # split prefix sums: hi = nearest multiple of 32 mm (exact f32 integer
     # arithmetic for |prefix| < 2^24 * 32 mm), lo = residual in [-16, 16)
@@ -70,9 +76,14 @@ def voxel_downsample(xy: jnp.ndarray, valid: jnp.ndarray, voxel_size: float):
     cyh, cyl = split_cumsum(ys)
     cw = jnp.cumsum(ws)  # 0/1 weights: exact
     last = jnp.concatenate([k[:-1] != k[1:], jnp.ones(1, bool)])
-    pkey = jnp.where(last, 0, 1).astype(jnp.int32)
-    pk, ku, pxh, pxl, pyh, pyl, pw = jax.lax.sort(
-        (pkey, k, cxh, cxl, cyh, cyl, cw), num_keys=1, is_stable=True
+    # pack (segment-end flag, key) into ONE sort key: keys use 27 bits
+    # (sentinel included), the not-an-end flag rides bit 27.  Sorting by the
+    # packed key == sorting by (flag, key), and within the flag=0 group the
+    # rows were already in key order, so the stable result is identical while
+    # the sort carries one less operand.
+    pkey = jnp.where(last, 0, _SENTINEL * 2) + k
+    pk, pxh, pxl, pyh, pyl, pw = jax.lax.sort(
+        (pkey, cxh, cxl, cyh, cyl, cw), num_keys=1, is_stable=True
     )
 
     def seg(c):
@@ -81,7 +92,7 @@ def voxel_downsample(xy: jnp.ndarray, valid: jnp.ndarray, voxel_size: float):
     sx = seg(pxh) + seg(pxl)
     sy = seg(pyh) + seg(pyl)
     sw = seg(pw)
-    out_valid = (pk == 0) & (ku != _SENTINEL) & (sw > 0)
+    out_valid = (pk < _SENTINEL) & (sw > 0)
     out_xy = jnp.stack([sx, sy], axis=1) / jnp.maximum(sw, 1.0)[:, None]
     out_xy = jnp.where(out_valid[:, None], out_xy, 0.0)
     return out_xy, out_valid
@@ -100,11 +111,9 @@ def compact(xy: jnp.ndarray, valid: jnp.ndarray, capacity: int):
     at map capacity (random-access gathers serialize on TPU).
     """
     key = jnp.where(valid, 0, 1).astype(jnp.int32)
-    _, xs, ys, vs = jax.lax.sort(
-        (key, xy[:, 0], xy[:, 1], valid.astype(jnp.int32)), num_keys=1, is_stable=True
-    )
+    ks, xs, ys = jax.lax.sort((key, xy[:, 0], xy[:, 1]), num_keys=1, is_stable=True)
     xy_sorted = jnp.stack([xs, ys], axis=1)
-    valid_sorted = vs.astype(bool)
+    valid_sorted = ks == 0  # validity is the sort key itself: no extra operand
     n = xy.shape[0]
     if capacity <= n:
         return xy_sorted[:capacity], valid_sorted[:capacity]
