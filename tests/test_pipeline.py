@@ -131,3 +131,24 @@ def test_reseed_recovers_from_poisoned_seed():
 
     _, _, _, oacc = oracle.run_sequence(padded.astype(np.float64), cfg)
     np.testing.assert_array_equal(acc, oacc)
+
+
+def test_windowed_prune_matches_full_grid(scan_sequence):
+    """`prune_window_margin_px`: occupancy only mutates inside the raster
+    window and offline prunes every accepted step, so a margined window check
+    must reproduce the full-grid prune (up to the documented downsample-merge
+    edge case, which does not fire on this prefix)."""
+    import dataclasses
+
+    from icp_slam_yolo_tpu.config import OccupancyConfig
+
+    padded = scans_io.collate(scan_sequence, CFG.n_max)
+    full = CFG
+    windowed = CFG.replace(
+        occupancy=dataclasses.replace(OccupancyConfig(), prune_window_margin_px=32)
+    )
+    _, outs_f = pipeline.run_sequence(jnp.asarray(padded), full)
+    _, outs_w = pipeline.run_sequence(jnp.asarray(padded), windowed)
+    np.testing.assert_array_equal(np.asarray(outs_f.accepted), np.asarray(outs_w.accepted))
+    dp = np.abs(np.asarray(outs_f.pose) - np.asarray(outs_w.pose))
+    assert dp[:, :2].max() < 1.0, f"windowed prune shifted the trajectory {dp[:, :2].max():.3f} mm"
