@@ -358,6 +358,13 @@ def main():
         secondary["detect_gflop_per_image"] = round(gflop_img, 2)
         secondary["detect_achieved_tflops"] = round(tflops, 2)
         secondary["detect_mfu"] = round(mfu, 4)
+        # throughput regime: small batches leave MXU tiles mostly empty (the
+        # batch dim folds into the matmul rows); 128 is the measured knee
+        fps128, _, tflops128, mfu128 = bench_detect(batch=128, n_calls=4)
+        print(f"# YOLO detect throughput (batch 128): {fps128:.1f} FPS "
+              f"({tflops128:.1f} TFLOP/s, {mfu128*100:.1f}% MFU)", file=sys.stderr)
+        secondary["detect_fps_640_b128"] = round(fps128, 1)
+        secondary["detect_mfu_b128"] = round(mfu128, 4)
         fleet = bench_fleet()
         print(f"# fleet SLAM (8 robots, vmapped): {fleet:.1f} scans/s total", file=sys.stderr)
         train_sps = bench_train()
