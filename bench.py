@@ -223,13 +223,16 @@ def bench_detect(batch: int = 8, img_size: int = 640, n_calls: int = 8):
         return prog
 
     perturb = lambda args, k: (args[0] + 1e-6 * k,)
+    prog_n = chain(n_calls)
     base = _timed_fetch(chain(0), (x,), perturb, repeats=3)
-    tN = _timed_fetch(chain(n_calls), (x,), perturb, repeats=3)
+    tN = _timed_fetch(prog_n, (x,), perturb, repeats=3)
     fps = batch * n_calls / max(tN - base, 1e-9)
 
     try:
-        cost = jax.jit(lambda im: one(im).boxes).lower(x).compile().cost_analysis()
-        flops_per_img = float(cost.get("flops", 0.0)) / batch
+        # reuse the already-compiled timing program (same jitted callable ->
+        # cache hit) and divide the whole chain's FLOPs by the calls in it
+        cost = prog_n.lower(x).compile().cost_analysis()
+        flops_per_img = float(cost.get("flops", 0.0)) / (batch * n_calls)
     except Exception:  # cost analysis is backend-dependent; FPS still stands
         flops_per_img = 0.0
     achieved = fps * flops_per_img / 1e12
@@ -294,10 +297,10 @@ def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
 
     cfg = SlamConfig(
         map=MapConfig(width_mm=12000.0, height_mm=12000.0),
-        # early_exit/skip_dead STAY ON under vmap: vmapping a pallas_call adds
-        # a grid dimension, and the kernel's scalar SMEM branches remain real
-        # per-lane branches (round-2 wrongly assumed cond->select inside the
-        # kernel; flipping this alone took the fleet 1305 -> 3813 scans/s).
+        # early_exit/skip_dead STAY ON under vmap: the custom_vmap-batched ICP
+        # kernel's internal per-robot loops branch independently, so scalar
+        # SMEM branches never lower to select (round-2 wrongly assumed they
+        # did; flipping this alone took the fleet 1305 -> 3813 scans/s).
         # motion_model halves the mean ICP iteration count on warm tracking.
         icp=IcpConfig(early_exit=True),
         motion_model=True,

@@ -94,9 +94,11 @@ class IcpConfig:
     huber_delta_mm: float = 0.0     # 0 disables robust weighting
     backend: str = "auto"           # "auto" | "xla" | "fused" (single Pallas kernel)
     early_exit: bool = True         # stop fused kernel at convergence.  Safe
-    # (and fast) under vmap too: vmapping a pallas_call adds a grid dimension
-    # and the kernel's scalar branches stay real per-lane branches — only
-    # XLA-level lax.cond (e.g. rescue_estimator) lowers to select under vmap.
+    # (and fast) under vmap too: `icp_fused_pallas` is custom_vmap-batched
+    # into ONE kernel instance whose internal per-robot loops branch
+    # independently (scalar branches never lower to select inside the
+    # kernel) — only XLA-level lax.cond (e.g. rescue_estimator) lowers to
+    # select under vmap.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -225,7 +225,8 @@ def _icp_kernel(
             iters_done = iters_done + jnp.where(done, 0.0, 1.0)
             return cth, sth, ptx, pty, err, new_done, iters_done
 
-        # params layout: [cos(theta), sin(theta), x_mm, y_mm] per robot
+        # params rows are [x_mm, y_mm, cos(theta), sin(theta)] per robot; the
+        # carry order below is (cos, sin, x, y)
         init = (
             params_ref[b, 2],
             params_ref[b, 3],

@@ -298,6 +298,22 @@ def update_occupancy(
     return jax.lax.dynamic_update_slice(occ, win_p, (y1s, x1s))
 
 
+def _binary_grid_lookup(grid: jnp.ndarray, ly: jnp.ndarray, lx: jnp.ndarray) -> jnp.ndarray:
+    """Per-point lookup of a BINARY grid as two one-hot MXU passes.
+
+    ``grid[ly_i, lx_i]`` for in-range int32 coords: random gathers are serial
+    on TPU, but with 0/1 values the gather is exact in bf16 —
+    ``sum_y onehot(ly)[i,y] * grid[y,x] * onehot(lx)[i,x]`` has exactly one
+    nonzero term per point.  Returns a float 0/1 vector (compare ``> 0.5``).
+    """
+    h, w = grid.shape
+    g = grid.astype(jnp.bfloat16)
+    a_hot = (ly[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    b_hot = (lx[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+    rows = jnp.dot(a_hot, g, preferred_element_type=jnp.bfloat16)  # (N, W), 0/1
+    return jnp.sum(rows * b_hot, axis=1)
+
+
 def occupancy_keep_mask(
     points_xy: jnp.ndarray,
     valid: jnp.ndarray,
@@ -310,19 +326,15 @@ def occupancy_keep_mask(
     (``p < free_threshold``); out-of-bounds points are kept.
 
     The per-point grid lookup only needs the BINARY ``p >= free_threshold``
-    grid, so it runs as a one-hot bilinear on the MXU (exact in bf16; random
-    gathers are serial on TPU and this was 0.2 ms x2 per SLAM step).
+    grid, so it runs as a one-hot bilinear on the MXU (random gathers are
+    serial on TPU and this was 0.2 ms x2 per SLAM step).
     """
     h, w = occ.shape
     px, py = world_to_px(points_xy, map_cfg)
     oob = (px < 0) | (px >= w) | (py < 0) | (py >= h)
-    pyc = jnp.clip(py, 0, h - 1)
-    pxc = jnp.clip(px, 0, w - 1)
-    keep_grid = (occ >= free_threshold).astype(jnp.bfloat16)
-    a_hot = (pyc[:, None] == jnp.arange(h, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    b_hot = (pxc[:, None] == jnp.arange(w, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    rows = jnp.dot(a_hot, keep_grid, preferred_element_type=jnp.bfloat16)  # (N, W), 0/1
-    kept = jnp.sum(rows * b_hot, axis=1)  # exactly one nonzero term per row
+    kept = _binary_grid_lookup(
+        occ >= free_threshold, jnp.clip(py, 0, h - 1), jnp.clip(px, 0, w - 1)
+    )
     return valid & (oob | (kept > 0.5))
 
 
@@ -365,9 +377,5 @@ def prune_keep_mask(
     lx = jnp.clip(px - x1s, 0, ww - 1)
     ly = jnp.clip(py - y1s, 0, wh - 1)
     win_p = jax.lax.dynamic_slice(occ, (y1s, x1s), (wh, ww))
-    keep_grid = (win_p >= occ_cfg.free_threshold).astype(jnp.bfloat16)
-    a_hot = (ly[:, None] == jnp.arange(wh, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    b_hot = (lx[:, None] == jnp.arange(ww, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    rows = jnp.dot(a_hot, keep_grid, preferred_element_type=jnp.bfloat16)
-    kept = jnp.sum(rows * b_hot, axis=1)
+    kept = _binary_grid_lookup(win_p >= occ_cfg.free_threshold, ly, lx)
     return valid & (~inside | (kept > 0.5))

@@ -51,7 +51,9 @@ def resize_to_width_exact(img: np.ndarray, width: int) -> tuple[np.ndarray, floa
     h0, w0 = arr.shape[:2]
     factor = w0 / width
     im = Image.fromarray(arr if arr.dtype == np.uint8 else arr.astype(np.uint8))
-    out = im.resize((int(w0 / factor), int(h0 / factor)))
+    # int(w0 / factor) can truncate one pixel low when the float ratio rounds
+    # up — the output width must be exactly the requested one
+    out = im.resize((width, max(1, round(h0 / factor))))
     return np.asarray(out), factor
 
 
