@@ -230,9 +230,10 @@ def bench_detect(batch: int = 8, img_size: int = 640, n_calls: int = 8):
 
     try:
         # reuse the already-compiled timing program (same jitted callable ->
-        # cache hit) and divide the whole chain's FLOPs by the calls in it
+        # cache hit).  XLA cost analysis counts a fori_loop body ONCE
+        # regardless of trip count, so the chain's FLOPs are one call's.
         cost = prog_n.lower(x).compile().cost_analysis()
-        flops_per_img = float(cost.get("flops", 0.0)) / (batch * n_calls)
+        flops_per_img = float(cost.get("flops", 0.0)) / batch
     except Exception:  # cost analysis is backend-dependent; FPS still stands
         flops_per_img = 0.0
     achieved = fps * flops_per_img / 1e12

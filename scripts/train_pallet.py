@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--eval-images", type=int, default=160)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="evaluate mAP50 every N steps and record the first "
+                         "crossing of --target-map50 (time-to-quality)")
+    ap.add_argument("--target-map50", type=float, default=0.99)
     ap.add_argument("--out", default="/tmp/pallet_ckpt")
     args = ap.parse_args()
 
@@ -43,6 +47,8 @@ def main():
 
     it = iter(ds)
     t0 = time.time()
+    train_elapsed = 0.0
+    hit_step, hit_time = None, None
     for i in range(args.steps):
         state, metrics = step_fn(state, next(it))
         if (i + 1) % 50 == 0 or i == 0:
@@ -50,14 +56,30 @@ def main():
                 f"step {i+1}/{args.steps} loss={float(metrics['loss']):.3f} "
                 f"box={float(metrics['loss_box']):.3f} cls={float(metrics['loss_cls']):.3f} "
                 f"dfl={float(metrics['loss_dfl']):.3f} fg={int(metrics['num_fg'])} "
-                f"({(time.time()-t0)/(i+1):.2f}s/step)",
+                f"({(train_elapsed + time.time()-t0)/(i+1):.2f}s/step)",
                 flush=True,
             )
         if (i + 1) % 250 == 0:
             save_checkpoint(args.out, state.params, state.batch_stats,
                             meta={"img_size": args.img_size, "num_classes": 1,
                                   "variant": "n", "task": "detect", "steps": i + 1})
+        # time-to-quality: periodic val eval until the target mAP50 is crossed
+        # (eval wall time is excluded from the reported crossing time — the
+        # reference's per-epoch `time` column likewise excludes its val pass)
+        if args.eval_every and (i + 1) % args.eval_every == 0 and hit_step is None:
+            train_elapsed += time.time() - t0
+            det = Detector(num_classes=1, img_size=args.img_size,
+                           params={"params": state.params, "batch_stats": state.batch_stats})
+            m = evaluate_detector(det, args.data + "/val", args.img_size,
+                                  max_images=args.eval_images)
+            print(f"eval @ step {i+1}: mAP50={m['mAP50']:.4f} "
+                  f"(train wall {train_elapsed:.0f}s)", flush=True)
+            if m["mAP50"] >= args.target_map50:
+                hit_step, hit_time = i + 1, train_elapsed
+            t0 = time.time()
 
+    if args.eval_every:
+        train_elapsed += time.time() - t0
     save_checkpoint(args.out, state.params, state.batch_stats,
                     meta={"img_size": args.img_size, "num_classes": 1,
                           "variant": "n", "task": "detect", "steps": args.steps})
@@ -66,6 +88,10 @@ def main():
     det = Detector(num_classes=1, img_size=args.img_size,
                    params={"params": state.params, "batch_stats": state.batch_stats})
     m = evaluate_detector(det, args.data + "/val", args.img_size, max_images=args.eval_images)
+    if args.eval_every:
+        m["time_to_map50_target_s"] = round(hit_time, 1) if hit_step else None
+        m["steps_to_map50_target"] = hit_step
+        m["map50_target"] = args.target_map50
     print("VAL METRICS: " + json.dumps(m), flush=True)
     with open(args.out + ".metrics.json", "w") as f:
         json.dump(m, f, indent=2)
