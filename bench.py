@@ -286,6 +286,54 @@ def bench_train(batch: int = 16, img_size: int = 640, n_calls: int = 4) -> float
     return n_calls / max(tN - base, 1e-9)
 
 
+def bench_fused(n_calls: int = 8) -> float:
+    """Fused SLAM+YOLO loop (BASELINE.json config 4): one tick = one SLAM
+    scan step + one stereo-pair detect (batch-2 forward+decode+NMS), chained
+    in ONE jitted program with a data dependency between the two (detections
+    perturb the next scan, the pose perturbs the next frames).  The remaining
+    landmark projection (`fusion/landmarks.py`) is O(us) host math.  Returns
+    ticks/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from icp_slam_yolo_tpu.config import SlamConfig
+    from icp_slam_yolo_tpu.io import scans as scans_io
+    from icp_slam_yolo_tpu.models.detect import Detector
+    from icp_slam_yolo_tpu.slam import pipeline
+
+    cfg = SlamConfig(map_capacity=8192)
+    scans, _, _ = scans_io.load_sequence("/root/reference/Scan_data_1", 1, 3, n_max=cfg.n_max)
+    scan = jnp.asarray(scans[1])
+    state0 = pipeline.init_state(jnp.asarray(scans[0]), cfg)
+    step = pipeline.make_step(cfg)
+
+    det = Detector(num_classes=1, img_size=640)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(0, 1, (2, 640, 640, 3)), jnp.float32)
+    params, stats = det.params, det.batch_stats
+
+    def chain(n):
+        @jax.jit
+        def prog(st, sc, fr):
+            def body(i, carry):
+                st, sc, fr = carry
+                st, out = step(st, sc)
+                dets, _, _ = det._predict_impl(params, stats, fr, jnp.float32(0.5), jnp.float32(0.45))
+                top = jnp.max(dets.scores)
+                # cross-dependencies: neither half can be elided or reordered
+                sc = sc.at[:, 2].add(1e-4 + top * 1e-6)
+                fr = fr + st.pose[0] * 1e-9 + 1e-6
+                return st, sc, fr
+            st, sc, fr = jax.lax.fori_loop(0, n, body, (st, sc, fr))
+            return st.pose[0] + jnp.sum(fr[0, 0, 0])
+        return prog
+
+    perturb = lambda args, k: (args[0], args[1].at[:, 2].add(1e-4 * k), args[2])
+    base = _timed_fetch(chain(0), (state0, scan, frames), perturb, repeats=3)
+    tN = _timed_fetch(chain(n_calls), (state0, scan, frames), perturb, repeats=3)
+    return n_calls / max(tN - base, 1e-9)
+
+
 def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
     """Multi-robot fleet throughput: vmapped SLAM over n_robots streams
     (BASELINE.json config 5) — total scans/sec across the fleet."""
@@ -371,6 +419,10 @@ def main():
         secondary["detect_mfu_b128"] = round(mfu128, 4)
         fleet = bench_fleet()
         print(f"# fleet SLAM (8 robots, vmapped): {fleet:.1f} scans/s total", file=sys.stderr)
+        fused = bench_fused()
+        print(f"# fused SLAM+detect tick (scan step + stereo-pair detect): "
+              f"{fused:.1f} ticks/s (reference camera worker: ~10 Hz)", file=sys.stderr)
+        secondary["fused_ticks_per_sec"] = round(fused, 1)
         train_sps = bench_train()
         print(f"# detect train step (batch 16, 640px): {train_sps:.2f} steps/s "
               f"(reference: ~4.5 steps/s, 8.8 s/epoch)", file=sys.stderr)
