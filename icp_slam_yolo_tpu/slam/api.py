@@ -55,13 +55,14 @@ class Slam:
         padded = jnp.asarray(scans_io.pad_scan(np.asarray(scan, np.float64), self.cfg.n_max))
         if self.state is None:
             self.state = pipeline.init_state(padded, self.cfg)
-            out = {"pose": np.zeros(3), "rmse": 0.0, "accepted": True}
+            out = {"pose": np.zeros(3), "rmse": 0.0, "accepted": True, "n_iters": 0}
         else:
             self.state, o = self._step(self.state, padded)
             out = {
                 "pose": np.asarray(o.pose),
                 "rmse": float(o.rmse),
                 "accepted": bool(o.accepted),
+                "n_iters": int(o.n_iters),
             }
         self.trajectory.append(out["pose"])
         self.rmse_history.append(out["rmse"])

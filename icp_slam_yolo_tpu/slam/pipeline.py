@@ -56,6 +56,8 @@ class StepOutput(NamedTuple):
     rmse: jnp.ndarray      # scalar
     accepted: jnp.ndarray  # bool
     n_points: jnp.ndarray  # gated point count
+    n_iters: jnp.ndarray   # ICP iterations actually executed (observability;
+    # the fused kernel's early-exit makes this the step's main cost driver)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -226,7 +228,10 @@ def make_step(cfg: SlamConfig = SlamConfig()):
             )
             new_state = new_state._replace(reject_run=jnp.where(need, 0, run))
 
-        out = StepOutput(pose=new_state.pose, rmse=res.rmse, accepted=accepted, n_points=n_points)
+        out = StepOutput(
+            pose=new_state.pose, rmse=res.rmse, accepted=accepted,
+            n_points=n_points, n_iters=res.n_iters,
+        )
         return new_state, out
 
     return step

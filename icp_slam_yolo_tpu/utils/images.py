@@ -65,6 +65,88 @@ def load_resized(path: str, size: tuple[int, int]) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB").resize(size))
 
 
+def resize_frame(img: np.ndarray, size: tuple[int, int], bgr_to_rgb: bool = False) -> np.ndarray:
+    """Resize one video frame to exactly ``(w, h)``, optionally swapping the
+    channel order (`lib_main/convert.py:7-11` ``img_resize_vid`` parity — the
+    reference resizes a BGR capture frame, converts to RGB and wraps it for
+    Tk; our display path consumes the RGB array directly)."""
+    arr = np.asarray(img)
+    if bgr_to_rgb and arr.ndim == 3:
+        arr = arr[..., ::-1]
+    im = Image.fromarray(arr if arr.dtype == np.uint8 else arr.astype(np.uint8))
+    return np.asarray(im.resize((int(size[0]), int(size[1]))))
+
+
+def images_to_video(
+    frames, dst_path: str, fps: float = 10.0, size: tuple[int, int] | None = None,
+    quality: int = 90,
+) -> int:
+    """Write a sequence of images to an MJPEG ``.avi`` file; returns the frame
+    count.
+
+    ``frames`` is an iterable of RGB uint8 arrays and/or image file paths (a
+    directory path is also accepted and expands via :func:`list_dir_paths`).
+    Frames are resized to ``size`` (defaults to the first frame's size; AVI
+    requires uniform dimensions).  The muxer is pure stdlib — each frame is
+    JPEG-encoded with PIL and wrapped in a standard RIFF/AVI container
+    (``avih``/``strh``/``strf`` headers, ``00dc`` movi chunks, ``idx1``
+    keyframe index) so the output plays in browsers/VLC/OpenCV.  Closes the
+    images→video gap flagged against `lib_main/convert.py` — the reference
+    itself never writes video (no ``VideoWriter`` anywhere in its tree), so
+    this is a superset utility for turning capture/replay dumps into clips.
+    """
+    import io
+    import struct
+
+    if isinstance(frames, str):
+        frames = list_dir_paths(frames)
+    blobs: list[bytes] = []
+    w = h = 0
+    for f in frames:
+        im = Image.open(f).convert("RGB") if isinstance(f, str) else Image.fromarray(
+            np.asarray(f, np.uint8)
+        ).convert("RGB")
+        if size is None:
+            size = im.size
+        if im.size != tuple(size):
+            im = im.resize((int(size[0]), int(size[1])))
+        w, h = im.size
+        buf = io.BytesIO()
+        im.save(buf, format="JPEG", quality=quality)
+        blobs.append(buf.getvalue())
+    if not blobs:
+        raise ValueError("images_to_video: no frames")
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return tag + struct.pack("<I", len(payload)) + payload + (b"\0" if len(payload) & 1 else b"")
+
+    usec = int(round(1_000_000 / float(fps)))
+    maxb = max(len(b) for b in blobs)
+    avih = struct.pack("<14I", usec, maxb * int(fps), 0, 0x10, len(blobs), 0, 1, maxb, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII4H", 0, 0, 0, 0, 1, int(round(fps)),
+                                           0, len(blobs), maxb, 0xFFFFFFFF, 0, 0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + len(chunk(b"strh", strh)) + len(chunk(b"strf", strf))) \
+        + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl_body = b"hdrl" + chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+
+    movi_chunks, idx, off = [], [], 4  # offsets count from the 'movi' tag
+    for b in blobs:
+        c = chunk(b"00dc", b)
+        movi_chunks.append(c)
+        idx.append(b"00dc" + struct.pack("<III", 0x10, off, len(b)))  # AVIIF_KEYFRAME
+        off += len(c)
+    movi_body = b"movi" + b"".join(movi_chunks)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    idx1 = chunk(b"idx1", b"".join(idx))
+
+    riff_body = b"AVI " + hdrl + movi + idx1
+    with open(dst_path, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body)
+    return len(blobs)
+
+
 def list_dir_paths(folder: str) -> list[str]:
     """Full paths of a directory's entries, [] when the directory is missing
     (`lib_main/convert.py:49-61` ``list_atwork`` parity, minus the Tk error

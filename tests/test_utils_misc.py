@@ -85,3 +85,37 @@ def test_resize_to_width_exact_and_load(tmp_path):
     paths = list_dir_paths(str(tmp_path))
     assert paths == [str(tmp_path / "a.png")]
     assert list_dir_paths(str(tmp_path / "missing")) == []
+
+def test_resize_frame_channel_swap():
+    from icp_slam_yolo_tpu.utils.images import resize_frame
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[..., 0] = 200  # "blue" plane in BGR order
+    out = resize_frame(img, (4, 4), bgr_to_rgb=True)
+    assert out.shape == (4, 4, 3)
+    assert out[0, 0, 2] == 200 and out[0, 0, 0] == 0  # swapped to RGB
+
+
+def test_images_to_video_roundtrip(tmp_path):
+    from icp_slam_yolo_tpu.utils.images import images_to_video
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (48, 64, 3), dtype=np.uint8) for _ in range(5)]
+    # mix in a file path and an odd-sized frame (must be resized to match)
+    Image.fromarray(frames[0]).save(tmp_path / "f.png")
+    inputs = frames[:3] + [str(tmp_path / "f.png"), rng.integers(0, 255, (10, 10, 3), dtype=np.uint8)]
+    dst = str(tmp_path / "clip.avi")
+    n = images_to_video(inputs, dst, fps=12)
+    assert n == 5
+
+    cv2 = __import__("cv2")  # decode with an independent reader
+    cap = cv2.VideoCapture(dst)
+    got = 0
+    while True:
+        ok, fr = cap.read()
+        if not ok:
+            break
+        assert fr.shape == (48, 64, 3)
+        got += 1
+    assert got == 5
+    assert abs(cap.get(cv2.CAP_PROP_FPS) - 12.0) < 1e-6
