@@ -100,9 +100,20 @@ def _reseed_state(state: SlamState, xy, valid, cfg: SlamConfig) -> SlamState:
 
 
 def make_step(cfg: SlamConfig = SlamConfig()):
-    """Build the jittable ``step(state, scan) -> (state, StepOutput)``."""
+    """Build the jittable ``step(state, scan[, tick]) -> (state, StepOutput)``.
 
-    def step(state: SlamState, scan_raw: jnp.ndarray):
+    ``tick`` (optional int32 scalar) drives the realtime maintenance cadence
+    from a *lane-uniform* counter instead of the per-lane processed-scan
+    count.  Fleets pass the sequence index here: an unbatched predicate keeps
+    the maintenance ``lax.cond`` a real branch under ``vmap`` (a batched one
+    lowers to select and every lane pays the prune + downsample sorts every
+    step — the biggest cost of the vmapped realtime step).  ``None`` (the
+    sequential default) keeps the reference's per-lane count
+    (`mainn.py:342`); the two coincide whenever no scan is skipped for lack
+    of points.
+    """
+
+    def step(state: SlamState, scan_raw: jnp.ndarray, tick: jnp.ndarray | None = None):
         xy, valid = geo.polar_to_cartesian(scan_raw, cfg.gate)
         if cfg.use_outlier_filter:
             valid = statistical_outlier_mask(xy, valid, cfg.outlier_nb_neighbors, cfg.outlier_std_ratio)
@@ -211,7 +222,7 @@ def make_step(cfg: SlamConfig = SlamConfig()):
                 step=state.step + 1,
             )
         elif cfg.realtime_semantics:
-            new_state = _realtime_update(state, xy, valid, res, accepted, cfg)
+            new_state = _realtime_update(state, xy, valid, res, accepted, cfg, tick)
             new_state = jax.tree.map(
                 lambda new, old: jnp.where(enough, new, old),
                 new_state,
@@ -237,7 +248,9 @@ def make_step(cfg: SlamConfig = SlamConfig()):
     return step
 
 
-def _realtime_update(state: SlamState, xy, valid, res, accepted, cfg: SlamConfig) -> SlamState:
+def _realtime_update(
+    state: SlamState, xy, valid, res, accepted, cfg: SlamConfig, tick=None
+) -> SlamState:
     """Realtime-mode state update (`mainn.py:316-361`).
 
     On accept: pose <- T; insert dedup(30) -> dynamic(300) -> occupancy-filtered
@@ -266,15 +279,27 @@ def _realtime_update(state: SlamState, xy, valid, res, accepted, cfg: SlamConfig
     occ_xy, occ_valid = voxel_downsample(cur_xy, cur_valid, 2.0 * cfg.map.resolution_mm_per_px)
     occ = update_occupancy(state.occ, occ_xy, occ_valid, pose[:2], cfg.map, cfg.occupancy)
 
-    # periodic maintenance (counts only processed scans, `mainn.py:342`)
+    # periodic maintenance (counts only processed scans, `mainn.py:342`),
+    # behind a real lax.cond: 9 out of 10 steps skip the prune lookup and the
+    # map-buffer downsample sorts entirely.  With the default per-lane counter
+    # the predicate is batched under vmap (lowers to select — every lane pays
+    # every step); a lane-uniform `tick` keeps it a scalar and the skip real.
     new_maint = state.maint_count + 1
-    do_maint = (new_maint % MAP_MAINTENANCE_INTERVAL) == 0
-    pruned_valid = prune_keep_mask(big_xy, big_valid, occ, pose[:2], cfg.map, cfg.occupancy)
-    maint_valid = jnp.where(do_maint, pruned_valid, big_valid)
-    ds_xy, ds_valid = voxel_downsample(big_xy, maint_valid, cfg.map_downsample_voxel_mm)
-    over = do_maint & (jnp.sum(maint_valid) > cfg.map_downsample_trigger)
-    big_xy = jnp.where(over, ds_xy, big_xy)
-    big_valid = jnp.where(over, ds_valid, maint_valid)
+    if tick is None:
+        do_maint = (new_maint % MAP_MAINTENANCE_INTERVAL) == 0
+    else:
+        do_maint = ((tick + 1) % MAP_MAINTENANCE_INTERVAL) == 0
+
+    def _maintain(args):
+        bxy, bval, occ_, p2 = args
+        pruned = prune_keep_mask(bxy, bval, occ_, p2, cfg.map, cfg.occupancy)
+        ds_xy, ds_valid = voxel_downsample(bxy, pruned, cfg.map_downsample_voxel_mm)
+        over = jnp.sum(pruned) > cfg.map_downsample_trigger
+        return jnp.where(over, ds_xy, bxy), jnp.where(over, ds_valid, pruned)
+
+    big_xy, big_valid = jax.lax.cond(
+        do_maint, _maintain, lambda args: (args[0], args[1]), (big_xy, big_valid, occ, pose[:2])
+    )
     map_xy, map_valid = compact(big_xy, big_valid, cfg.map_capacity)
 
     return SlamState(

@@ -100,3 +100,32 @@ def test_fleet_per_robot_rate(scan_sequence):
     assert rate_fleet >= 2.0 * rate_single, (
         f"fleet does not scale: {rate_fleet:.0f} vs single {rate_single:.0f} scans/s"
     )
+
+
+def test_fleet_tick_matches_single_realtime(scan_sequence):
+    """The fleet's lane-uniform maintenance tick must reproduce per-lane
+    sequential replay exactly (they coincide whenever no scan is skipped for
+    lack of points) — guards the scan-outer/vmap-inner rewrite of
+    `fleet_run_sequence`."""
+    import dataclasses
+
+    cfg = CFG.replace(
+        icp=dataclasses.replace(CFG.icp, max_iterations=10),
+        realtime_semantics=True,
+        use_duplicate_filter=True,
+        motion_model=True,
+    )
+    raw = scan_sequence[:25]
+    padded = scans_io.collate(raw, cfg.n_max)
+    stack = jnp.asarray(np.stack([padded, padded]))
+
+    _, single = pipeline.run_sequence(jnp.asarray(padded), cfg)
+    from icp_slam_yolo_tpu.parallel.fleet import fleet_run_sequence
+
+    states, fleet_outs = fleet_run_sequence(stack, cfg)
+    assert fleet_outs.pose.shape == (2, len(raw) - 1, 3)
+    np.testing.assert_array_equal(
+        np.asarray(fleet_outs.accepted[0]), np.asarray(single.accepted)
+    )
+    np.testing.assert_allclose(np.asarray(fleet_outs.pose[0]), np.asarray(single.pose), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fleet_outs.pose[1]), np.asarray(single.pose), atol=1e-3)
