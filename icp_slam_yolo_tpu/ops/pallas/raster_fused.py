@@ -118,18 +118,18 @@ def _bresenham_block(blk, rly, rlx, k):
     return ly, lx, body3, end3
 
 
-def _block_counts(ly, lx, body3, end3, bg, n_rays, k, width):
-    """Free/occupied count contribution of one ray block at ``width`` resolution.
+def _block_counts(ly, lx, body3, end3, bg, n_rays, k, width_y, width_x):
+    """Free/occupied count contribution of one ray block at box resolution.
 
     Args:
-      ly/lx: ``(R, K)`` int32 cell coords, already local to the ``width`` box.
+      ly/lx: ``(R, K)`` int32 cell coords, already local to the box.
       body3/end3: ``(R, K, 1)`` f32 sample masks.
-      bg: ``(width, width)`` bf16 blocked-cell grid for the same box.
+      bg: ``(width_y, width_x)`` bf16 blocked-cell grid for the same box.
 
-    Returns ``(free, occ)`` each ``(width, width)`` f32.
+    Returns ``(free, occ)`` each ``(width_y, width_x)`` f32.
     """
-    a2 = _one_hot_3d(ly, n_rays, k, width)      # (R*K, BB)
-    b2 = _one_hot_3d(lx, n_rays, k, width)
+    a2 = _one_hot_3d(ly, n_rays, k, width_y)      # (R*K, WY)
+    b2 = _one_hot_3d(lx, n_rays, k, width_x)      # (R*K, WX)
     # gather: s[sample] = blocked[ly, lx]  (0/1 exact in bf16)
     rows = jnp.dot(a2, bg, preferred_element_type=jnp.float32)
     s = jnp.sum(rows * b2.astype(jnp.float32), axis=1, keepdims=True)  # (R*K, 1)
@@ -141,39 +141,45 @@ def _block_counts(ly, lx, body3, end3, bg, n_rays, k, width):
     body2 = body3 * (i3 < first3).astype(jnp.float32)
     end2 = end3 * (first3 >= k).astype(jnp.float32)
     # stacked scatter: [free; occ] in one MXU pass (masks fold in 3-D)
-    a3 = a2.reshape(n_rays, k, width)
+    a3 = a2.reshape(n_rays, k, width_y)
     stacked = jnp.concatenate(
         [a3 * body2.astype(jnp.bfloat16), a3 * end2.astype(jnp.bfloat16)], axis=2
-    ).reshape(n_rays * k, 2 * width)
+    ).reshape(n_rays * k, 2 * width_y)
     counts = jax.lax.dot_general(
         stacked, b2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (2*BB, BB)
-    return counts[:width], counts[width:]
+    )  # (2*WY, WX)
+    return counts[:width_y], counts[width_y:]
 
 
-def _raster_kernel(
-    meta_ref, rays_ref, win_ref, out_ref,
+def _apply_scan_update(
+    win_p, get_meta, get_ray_block, n_blocks,
     *, k: int, bb: int, p_occ_inc: float, p_free_decay: float,
     block_threshold: float,
 ):
-    wh, ww = win_ref.shape
-    n_blocks = rays_ref.shape[0] // _RAY_BLOCK
-    rly = meta_ref[3, 0]
-    rlx = meta_ref[4, 0]
-    win_p = win_ref[...]
+    """Shared window-update body: one scan's free/occupied counts + probability
+    update over a ``(wh, ww)`` f32 window array.
+
+    ``get_meta(row, blk)`` reads a per-block int32 scalar (rows: mode, by, bx,
+    rly, rlx); ``get_ray_block(blk)`` reads that block's ``(32, 8)`` ray rows —
+    closures so the same body serves the window-input kernel and the
+    full-grid DMA kernel.
+    """
+    wh, ww = win_p.shape
+    rly = get_meta(3, 0)
+    rlx = get_meta(4, 0)
     bg_full = (win_p >= block_threshold).astype(jnp.bfloat16)
 
     def block_body(b, carry):
         free_acc, occ_acc = carry
-        mode = meta_ref[0, b]          # 0 dead, 1 fast (fits BB), 2 overflow
-        by = meta_ref[1, b]
-        bx = meta_ref[2, b]
+        mode = get_meta(0, b)          # 0 dead, 1 fast (fits BB), 2 overflow
+        by = get_meta(1, b)
+        bx = get_meta(2, b)
 
         def dead():
             return free_acc, occ_acc
 
         def fast():
-            blk = rays_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :]
+            blk = get_ray_block(b)
             ly, lx, body3, end3 = _bresenham_block(blk, rly, rlx, k)
             ly = ly - by
             lx = lx - bx
@@ -183,7 +189,7 @@ def _raster_kernel(
             # Roll the f32 window, not the bf16 grid: bf16 rolls fail Mosaic.
             rolled = pltpu.roll(pltpu.roll(win_p, wh - by, 0), ww - bx, 1)[:bb, :bb]
             bg = (rolled >= block_threshold).astype(jnp.bfloat16)
-            free_b, occ_b = _block_counts(ly, lx, body3, end3, bg, _RAY_BLOCK, k, bb)
+            free_b, occ_b = _block_counts(ly, lx, body3, end3, bg, _RAY_BLOCK, k, bb, bb)
 
             # place the BB x BB contribution back at (by, bx) with two rolls;
             # zero-size pads are invalid vectors in Mosaic, so skip each
@@ -198,11 +204,11 @@ def _raster_kernel(
             return free_acc + expand(free_b), occ_acc + expand(occ_b)
 
         def slow():
-            blk = rays_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :]
+            blk = get_ray_block(b)
             ly, lx, body3, end3 = _bresenham_block(blk, rly, rlx, k)
             # full-window resolution (ww == wh for kernel-eligible windows)
-            free_b, occ_b = _block_counts(ly, lx, body3, end3, bg_full, _RAY_BLOCK, k, ww)
-            return free_acc + free_b[:wh], occ_acc + occ_b[:wh]
+            free_b, occ_b = _block_counts(ly, lx, body3, end3, bg_full, _RAY_BLOCK, k, wh, ww)
+            return free_acc + free_b, occ_acc + occ_b
 
         return jax.lax.cond(
             mode == 0, dead, lambda: jax.lax.cond(mode == 1, fast, slow)
@@ -213,7 +219,61 @@ def _raster_kernel(
         (jnp.zeros((wh, ww), jnp.float32), jnp.zeros((wh, ww), jnp.float32)),
     )
     new_p = win_p * jnp.power(jnp.float32(p_free_decay), free_n)
-    out_ref[...] = jnp.minimum(1.0, new_p + jnp.float32(p_occ_inc) * occ_n)
+    return jnp.minimum(1.0, new_p + jnp.float32(p_occ_inc) * occ_n)
+
+
+def _raster_kernel(
+    meta_ref, rays_ref, win_ref, out_ref,
+    *, k: int, bb: int, p_occ_inc: float, p_free_decay: float,
+    block_threshold: float,
+):
+    out_ref[...] = _apply_scan_update(
+        win_ref[...],
+        lambda row, b: meta_ref[row, b],
+        lambda b: rays_ref[pl.ds(b * _RAY_BLOCK, _RAY_BLOCK), :],
+        rays_ref.shape[0] // _RAY_BLOCK,
+        k=k, bb=bb, p_occ_inc=p_occ_inc, p_free_decay=p_free_decay,
+        block_threshold=block_threshold,
+    )
+
+
+def _raster_grid_kernel(
+    meta_ref, rays_ref, grid_ref, out_ref, win_scratch, sem_in, sem_out,
+    *, side_y: int, side_x: int, k: int, bb: int, p_occ_inc: float,
+    p_free_decay: float, block_threshold: float,
+):
+    """Full-grid variant: one grid step per robot; the update window is DMA'd
+    in/out of the (aliased) HBM grid at a dynamic per-robot origin.  This
+    keeps the window extract/write-back INSIDE the kernel — the XLA
+    formulation (`dynamic_slice` + `dynamic_update_slice` around the window
+    kernel) serializes into per-robot while loops under `vmap` and cost more
+    device time than the raster itself in the fleet step.
+
+    DMA offsets must be tile-aligned (sublane 8, lane 128).  The caller sends
+    pre-aligned origins; the ``(v // t) * t`` here is a runtime no-op whose
+    shape Mosaic's divisibility analysis can prove, which a bare SMEM scalar
+    is not."""
+    b = pl.program_id(0)
+    y0 = (meta_ref[b, 5, 0] // 8) * 8
+    x0 = (meta_ref[b, 6, 0] // 128) * 128
+    cp_in = pltpu.make_async_copy(
+        grid_ref.at[b, pl.ds(y0, side_y), pl.ds(x0, side_x)], win_scratch, sem_in
+    )
+    cp_in.start()
+    cp_in.wait()
+    win_scratch[...] = _apply_scan_update(
+        win_scratch[...],
+        lambda row, blk: meta_ref[b, row, blk],
+        lambda blk: rays_ref[0, pl.ds(blk * _RAY_BLOCK, _RAY_BLOCK), :],
+        rays_ref.shape[1] // _RAY_BLOCK,
+        k=k, bb=bb, p_occ_inc=p_occ_inc, p_free_decay=p_free_decay,
+        block_threshold=block_threshold,
+    )
+    cp_out = pltpu.make_async_copy(
+        win_scratch, out_ref.at[b, pl.ds(y0, side_y), pl.ds(x0, side_x)], sem_out
+    )
+    cp_out.start()
+    cp_out.wait()
 
 
 def raster_update_pallas(
@@ -306,4 +366,139 @@ def raster_update_pallas(
         meta,
         rays,
         win_p.astype(jnp.float32),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def grid_update_call(
+    side_y: int, side_x: int, k: int, bb: int, p_occ_inc: float,
+    p_free_decay: float, block_threshold: float, interpret: bool,
+):
+    """`custom_vmap`-wrapped single-robot full-grid update for one static
+    config: ``call(occ (H, W), ey, ex, live, rly, rlx, y0, x0)``.  `vmap`
+    substitutes the batched grid kernel (one instance, one grid step per
+    robot) instead of auto-batching — scratch DMA kernels don't auto-batch,
+    and the whole point is keeping the per-robot dynamic window off XLA."""
+    static = dict(
+        side_y=side_y, side_x=side_x, k=k, bb=bb, p_occ_inc=p_occ_inc,
+        p_free_decay=p_free_decay, block_threshold=block_threshold,
+        interpret=interpret,
+    )
+
+    @jax.custom_batching.custom_vmap
+    def call(occ, ey, ex, live, rly, rlx, y0, x0):
+        return raster_update_grid_pallas(
+            occ[None], ey[None], ex[None], live[None],
+            rly[None], rlx[None], y0[None], x0[None], **static,
+        )[0]
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        bargs = [
+            a if batched else jnp.broadcast_to(a[None], (axis_size,) + jnp.shape(a))
+            for batched, a in zip(in_batched, args)
+        ]
+        return raster_update_grid_pallas(*bargs, **static), True
+
+    return call
+
+
+def raster_update_grid_pallas(
+    occ: jnp.ndarray,
+    ey: jnp.ndarray,
+    ex: jnp.ndarray,
+    ray_live: jnp.ndarray,
+    rly: jnp.ndarray,
+    rlx: jnp.ndarray,
+    y0: jnp.ndarray,
+    x0: jnp.ndarray,
+    *,
+    side_y: int,
+    side_x: int,
+    k: int,
+    bb: int,
+    p_occ_inc: float,
+    p_free_decay: float,
+    block_threshold: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched full-grid occupancy update: one grid step per robot, window
+    extract/write-back by in-kernel DMA at a dynamic origin.
+
+    Args:
+      occ: ``(B, H, W)`` f32 probability grids (aliased through to the output;
+        cells outside each robot's window are untouched).  ``H`` must be a
+        multiple of 8 and ``W`` of 128 (DMA tile alignment — the caller falls
+        back to the XLA-windowed path otherwise).
+      ey/ex: ``(B, N)`` int32 *window-local* endpoint cells.
+      ray_live: ``(B, N)`` bool.
+      rly/rlx: ``(B,)`` int32 window-local robot cell.
+      y0/x0: ``(B,)`` int32 window origin within the grid, pre-clipped to
+        ``[0, H - side_y] x [0, W - side_x]`` and pre-aligned (y0 % 8 == 0,
+        x0 % 128 == 0).
+      side_y/side_x: static window dims (sublane multiple of 8, lane multiple
+        of 128).
+
+    Returns the updated ``(B, H, W)`` grids.
+    """
+    b_sz, n = ey.shape
+    assert n % _RAY_BLOCK == 0 and k % 8 == 0, (n, k)
+    assert side_y % 8 == 0 and side_x % 128 == 0 and bb % 128 == 0
+    assert bb <= min(side_y, side_x)
+    assert occ.shape[1] % 8 == 0 and occ.shape[2] % 128 == 0, occ.shape
+    nb = n // _RAY_BLOCK
+
+    eyc = jnp.where(ray_live, ey, rly[:, None]).reshape(b_sz, nb, _RAY_BLOCK)
+    exc = jnp.where(ray_live, ex, rlx[:, None]).reshape(b_sz, nb, _RAY_BLOCK)
+    y_min = jnp.minimum(jnp.min(eyc, axis=2), rly[:, None])
+    y_max = jnp.maximum(jnp.max(eyc, axis=2), rly[:, None])
+    x_min = jnp.minimum(jnp.min(exc, axis=2), rlx[:, None])
+    x_max = jnp.maximum(jnp.max(exc, axis=2), rlx[:, None])
+    fits = (y_max - y_min < bb) & (x_max - x_min < bb)
+    by = jnp.clip(y_min, 0, side_y - bb)
+    bx = jnp.clip(x_min, 0, side_x - bb)
+    live3 = ray_live.reshape(b_sz, nb, _RAY_BLOCK)
+    mode = jnp.where(jnp.any(live3, axis=2), jnp.where(fits, 1, 2), 0)
+    rows = [mode, by, bx] + [
+        jnp.broadcast_to(v[:, None], mode.shape) for v in (rly, rlx, y0, x0)
+    ]
+    meta = jnp.stack(rows, axis=1).astype(jnp.int32)  # (B, 7, NB)
+
+    rays = jnp.concatenate(
+        [
+            ey[:, :, None],
+            ex[:, :, None],
+            ray_live[:, :, None].astype(jnp.int32),
+            jnp.zeros((b_sz, n, 5), jnp.int32),
+        ],
+        axis=2,
+    ).astype(jnp.int32)  # (B, N, 8)
+
+    kernel = functools.partial(
+        _raster_grid_kernel, side_y=side_y, side_x=side_x, k=k, bb=bb,
+        p_occ_inc=float(p_occ_inc), p_free_decay=float(p_free_decay),
+        block_threshold=float(block_threshold),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b_sz,),
+        out_shape=jax.ShapeDtypeStruct(occ.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n, 8), lambda b: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((side_y, side_x), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(
+        meta,
+        rays,
+        occ.astype(jnp.float32),
     )

@@ -94,6 +94,28 @@ def _fused_side(h: int, w: int, occ_cfg: OccupancyConfig) -> int:
     return 0
 
 
+def _fused_grid_dims(h: int, w: int, occ_cfg: OccupancyConfig):
+    """``(side_y, side_x)`` for the DMA-window full-grid kernel, or ``None``
+    when ineligible (the XLA-windowed kernel path applies instead).
+
+    The dynamic window origin floors to the (8, 128) DMA tile grid, so the
+    window needs 7/127 cells of alignment slack beyond ``2 * window_px + 1``,
+    and the grid itself must be tile-shaped — otherwise the clipped origin
+    near the far edges loses alignment and rays there would silently drop.
+    """
+    win = occ_cfg.window_px
+    bb = 128 if win <= 112 else 256  # wedge box; the window must contain it
+    side_y = max(-(-(2 * win + 8) // 8) * 8, bb)
+    side_x = max(-(-(2 * win + 128) // 128) * 128, bb)
+    if (
+        h % 8 == 0 and w % 128 == 0
+        and side_y <= h and side_x <= w
+        and occ_cfg.max_ray_px % 8 == 0
+    ):
+        return side_y, side_x
+    return None
+
+
 def _use_fused(occ: jnp.ndarray, occ_cfg: OccupancyConfig) -> bool:
     if occ_cfg.backend == "xla":
         return False
@@ -132,8 +154,6 @@ def _update_occupancy_fused(
 
     h, w = occ.shape
     win = occ_cfg.window_px
-    side = _fused_side(h, w, occ_cfg)
-    bb = 128 if win <= 112 else min(256, side)
 
     rx, ry = world_to_px(robot_xy[None, :], map_cfg)
     rx, ry = rx[0], ry[0]
@@ -149,8 +169,24 @@ def _update_occupancy_fused(
     packed_xy, ray_valid = compact(points_xy, ray_valid, points_xy.shape[0])
     ex, ey = world_to_px(packed_xy, map_cfg)
 
-    y1s = jnp.clip(ry - win, 0, h - side)
-    x1s = jnp.clip(rx - win, 0, w - side)
+    dims = _fused_grid_dims(h, w, occ_cfg)
+    if dims is not None:
+        # full-grid kernel: the window is DMA'd in/out at (y1s, x1s) INSIDE
+        # the kernel.  The XLA window extract/write-back (`dynamic_slice` +
+        # `dynamic_update_slice`) serializes into per-robot while loops under
+        # vmap and cost more fleet-step device time than the raster itself.
+        # DMA offsets must be tile-aligned, so the origin floors to the
+        # (8, 128) grid and the window carries the alignment slack.
+        side_y, side_x = dims
+        bb = 128 if win <= 112 else 256
+        y1s = (jnp.clip(ry - win, 0, h - side_y) // 8) * 8
+        x1s = (jnp.clip(rx - win, 0, w - side_x) // 128) * 128
+    else:
+        side_y = side_x = _fused_side(h, w, occ_cfg)
+        bb = 128 if win <= 112 else min(256, side_x)
+        y1s = jnp.clip(ry - win, 0, h - side_y)
+        x1s = jnp.clip(rx - win, 0, w - side_x)
+
     eyl = ey - y1s
     exl = ex - x1s
 
@@ -161,7 +197,17 @@ def _update_occupancy_fused(
         exl = jnp.pad(exl, (0, n_pad - n), constant_values=0)
         ray_valid = jnp.pad(ray_valid, (0, n_pad - n))
 
-    win_p = jax.lax.dynamic_slice(occ, (y1s, x1s), (side, side))
+    if dims is not None:
+        from icp_slam_yolo_tpu.ops.pallas.raster_fused import grid_update_call
+
+        call = grid_update_call(
+            side_y, side_x, occ_cfg.max_ray_px, bb,
+            float(occ_cfg.p_occ_inc), float(occ_cfg.p_free_decay),
+            float(occ_cfg.block_threshold), interpret,
+        )
+        return call(occ, eyl, exl, ray_valid, ry - y1s, rx - x1s, y1s, x1s)
+
+    win_p = jax.lax.dynamic_slice(occ, (y1s, x1s), (side_y, side_x))
     new_win = raster_update_pallas(
         win_p, eyl, exl, ray_valid, ry - y1s, rx - x1s,
         k=occ_cfg.max_ray_px, bb=bb,

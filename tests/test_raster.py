@@ -1,6 +1,7 @@
 """Occupancy raster: vectorised Bresenham vs the literal reference algorithm,
 and the full update vs the NumPy oracle."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -264,3 +265,55 @@ def test_fused_raster_odd_ray_count_and_early_stop(scan_pair):
     assert out[ry, rx + 5] < 0.5
     assert out[ry, rx + 10] == np.float32(0.9)
     assert out[ry, rx + 15] == 0.5
+
+
+def test_fused_grid_dma_matches_oracle(scan_pair):
+    """DMA-window full-grid kernel path (tile-aligned grid: H % 8 == 0,
+    W % 128 == 0) must reproduce the oracle, including with the robot near a
+    corner (origin clipped + floored to the DMA tile grid) and batched under
+    vmap (the custom_vmap batched kernel)."""
+    from icp_slam_yolo_tpu.config import OFFLINE_GATE
+    from icp_slam_yolo_tpu.ops.raster import _fused_grid_dims
+
+    mc = MapConfig(width_mm=11520.0, height_mm=11520.0)  # 384 x 384 grid
+    oc = _fused(OccupancyConfig(window_px=100, max_ray_px=112))
+    assert _fused_grid_dims(mc.height_px, mc.width_px, oc) is not None
+
+    pts = oracle.polar_gate(scan_pair[0], OFFLINE_GATE)
+    pts = pts * 0.5  # keep rays inside the smaller arena
+    n = 512
+    xy = np.zeros((n, 2), np.float32)
+    xy[: len(pts)] = pts
+    valid = np.zeros(n, bool)
+    valid[: len(pts)] = True
+
+    for robot in (np.zeros(2), np.array([-mc.width_mm / 2 + 300.0, mc.height_mm / 2 - 300.0])):
+        pts_r = pts * 0.2 + robot
+        xy_r = np.zeros((n, 2), np.float32)
+        xy_r[: len(pts_r)] = pts_r
+        occ0 = np.full((mc.height_px, mc.width_px), 0.5, np.float64)
+        ref = oracle.update_occupancy(occ0, pts_r, robot, mc, oc)
+        ours = update_occupancy(
+            jnp.full((mc.height_px, mc.width_px), 0.5, jnp.float32),
+            jnp.asarray(xy_r), jnp.asarray(valid), jnp.asarray(robot, jnp.float32),
+            mc, oc,
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+    # batched: two robots at different window origins in one vmapped call
+    robots = np.stack([np.zeros(2), np.array([1500.0, -2000.0])]).astype(np.float32)
+    xy2 = np.zeros((n, 2), np.float32)
+    pts2 = pts * 0.3 + robots[1]
+    xy2[: len(pts2)] = pts2
+    batch_xy = jnp.asarray(np.stack([xy, xy2]))
+    batch_valid = jnp.asarray(np.stack([valid, valid]))
+    occb = jnp.full((2, mc.height_px, mc.width_px), 0.5, jnp.float32)
+    outs = jax.vmap(lambda o, p, v, r: update_occupancy(o, p, v, r, mc, oc))(
+        occb, batch_xy, batch_valid, jnp.asarray(robots)
+    )
+    for i, robot in enumerate(robots):
+        refb = oracle.update_occupancy(
+            np.full((mc.height_px, mc.width_px), 0.5, np.float64),
+            np.asarray(batch_xy[i])[np.asarray(batch_valid[i])], robot, mc, oc,
+        )
+        np.testing.assert_allclose(np.asarray(outs[i]), refb, atol=1e-5)
