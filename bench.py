@@ -334,39 +334,39 @@ def bench_fused(n_calls: int = 8) -> float:
     return n_calls / max(tN - base, 1e-9)
 
 
-def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
-    """Multi-robot fleet throughput: vmapped SLAM over n_robots streams
-    (BASELINE.json config 5) — total scans/sec across the fleet."""
-    import jax
-    import jax.numpy as jnp
+def _fleet_bench_cfg():
+    """The shipped `fleet` preset at bench-arena geometry.
 
-    from icp_slam_yolo_tpu.config import IcpConfig, MapConfig, OccupancyConfig, SlamConfig
-    from icp_slam_yolo_tpu.io import scans as scans_io
-    from icp_slam_yolo_tpu.parallel.fleet import fleet_run_sequence
+    All semantics/flags come from `FLEET_CONFIG` (the config whose quality is
+    gated in scripts/quality_check.py); only the arena shrinks to the
+    dataset's actual extent — 11.52 m square keeps the 384 x 384 grid
+    tile-shaped (H % 8, W % 128) so the DMA-window raster kernel stays
+    eligible, and window 100 px / 4096-slot capacity match the round-1/2/3
+    bench series for round-over-round comparability."""
+    import dataclasses
 
-    cfg = SlamConfig(
-        map=MapConfig(width_mm=12000.0, height_mm=12000.0),
-        # early_exit/skip_dead STAY ON under vmap: the custom_vmap-batched ICP
-        # kernel's internal per-robot loops branch independently, so scalar
-        # SMEM branches never lower to select (round-2 wrongly assumed they
-        # did; flipping this alone took the fleet 1305 -> 3813 scans/s).
-        # motion_model halves the mean ICP iteration count on warm tracking.
-        icp=IcpConfig(early_exit=True),
-        motion_model=True,
-        # the XLA-level cond in the raster DOES lower to select under vmap, so
-        # ray-block skipping stays off for fleets.  backend="fused": in the
-        # real pipeline the vmapped raster kernel runs at ~41 us/lane (B=8
-        # fleet 5697 scans/s vs 3807 with the XLA one-hot path) — a
-        # standalone chained microbench shows the opposite ranking, an
-        # artifact of carrying 8 full grids through its fori_loop.
-        # prune_window_margin_px: offline semantics prune every accepted step,
-        # so a 32 px margin (~1 m) over one step's travel is airtight.
-        occupancy=OccupancyConfig(
-            window_px=100, max_ray_px=112, skip_dead_rays=False,
-            backend="fused", prune_window_margin_px=32,
+    from icp_slam_yolo_tpu.config import FLEET_CONFIG, MapConfig
+
+    return FLEET_CONFIG.replace(
+        map=MapConfig(width_mm=11520.0, height_mm=11520.0),
+        occupancy=dataclasses.replace(
+            FLEET_CONFIG.occupancy, window_px=100, max_ray_px=112,
         ),
         map_capacity=4096,
     )
+
+
+def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
+    """Multi-robot fleet throughput: vmapped SLAM over n_robots streams
+    (BASELINE.json config 5) — total scans/sec across the fleet, measured on
+    the shipped `fleet` preset's flags (see `_fleet_bench_cfg`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icp_slam_yolo_tpu.io import scans as scans_io
+    from icp_slam_yolo_tpu.parallel.fleet import fleet_run_sequence
+
+    cfg = _fleet_bench_cfg()
     scans, _, _ = scans_io.load_sequence("/root/reference/Scan_data_1", 1, n_scans + 1, n_max=cfg.n_max)
     stack = jnp.asarray(np.stack([scans] * n_robots))
 
@@ -378,6 +378,34 @@ def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
     base = _measure_fetch_overhead()
     t = _timed_fetch(prog, (stack,), lambda a, k: (a[0].at[:, :, :, 2].add(1e-4 * k),), repeats=3)
     return n_robots * n_scans / max(t - base, 1e-9)
+
+
+def bench_fleet_matched_single(n_scans: int = 300) -> float:
+    """One sequential stream under the SAME config as `bench_fleet` (plus the
+    sequential-only ray-skip flag) — the denominator for an honest batching-
+    efficiency ratio.  The plain `bench_sequence` number differs in map
+    capacity/window/filters, so fleet-vs-plain overstates batching."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from icp_slam_yolo_tpu.io import scans as scans_io
+    from icp_slam_yolo_tpu.slam import pipeline
+
+    cfg = _fleet_bench_cfg()
+    cfg = cfg.replace(occupancy=dataclasses.replace(cfg.occupancy, skip_dead_rays=True))
+    scans, _, _ = scans_io.load_sequence("/root/reference/Scan_data_1", 1, n_scans + 1, n_max=cfg.n_max)
+    scans = jnp.asarray(scans)
+
+    @jax.jit
+    def prog(x):
+        state, outs = pipeline.run_sequence(x, cfg)
+        return state.pose[0] + jnp.sum(outs.rmse * 0)
+
+    base = _measure_fetch_overhead()
+    t = _timed_fetch(prog, (scans,), lambda a, k: (a[0].at[:, :, 2].add(1e-4 * k),), repeats=3)
+    return len(scans) / max(t - base, 1e-9)
 
 
 def main():
@@ -418,7 +446,11 @@ def main():
         secondary["detect_fps_640_b128"] = round(fps128, 1)
         secondary["detect_mfu_b128"] = round(mfu128, 4)
         fleet = bench_fleet()
-        print(f"# fleet SLAM (8 robots, vmapped): {fleet:.1f} scans/s total", file=sys.stderr)
+        fleet_single = bench_fleet_matched_single()
+        print(f"# fleet SLAM (8 robots, vmapped, `fleet` preset flags): {fleet:.1f} scans/s total "
+              f"(matched single stream: {fleet_single:.1f}; batching efficiency "
+              f"{fleet / max(fleet_single, 1e-9):.2f}x)", file=sys.stderr)
+        secondary["fleet_matched_single_scans_per_sec"] = round(fleet_single, 1)
         fused = bench_fused()
         print(f"# fused SLAM+detect tick (scan step + stereo-pair detect): "
               f"{fused:.1f} ticks/s (reference camera worker: ~10 Hz)", file=sys.stderr)

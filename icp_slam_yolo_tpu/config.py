@@ -264,6 +264,29 @@ ROBUST_CONFIG = REALTIME_CONFIG.replace(
     reseed_after_rejects=10,
 )
 
+# Fleet preset (BASELINE config 5: "batched multi-robot SLAM over 64 scan
+# streams"): REALTIME semantics/filters with every vmap-hostile feature off —
+# the GICP rescue's XLA-level lax.cond lowers to select under vmap, so every
+# robot would pay the rescue on every scan (sequential replay pays it only on
+# the ~0.3% rejected scans).  Realtime keep-pose-on-reject semantics also make
+# the motion model safe WITHOUT the rescue: on this dataset it tracks 99.6%
+# where offline skip-on-reject semantics collapse to 67% (a rejected
+# extrapolation cascades when the map stops updating).  Deltas vs REALTIME,
+# each measured on the full 1800-scan replay (docs/PERF.md "Fleet"):
+#   * tolerance 1e-2 (10 um of pose delta; the reference's 1e-5 is 10 nm):
+#     acceptance 99.67% -> 99.56%, median 17.48 -> 17.40 mm, fleet +13%.
+#   * fused raster + tile-shaped grid (1024 x 864 px covering the same
+#     arena): enables the DMA-window grid kernel — the XLA window
+#     extract/write-back serializes per robot under vmap.
+#   * skip_dead_rays off (its lax.cond lowers to select under vmap).
+FLEET_CONFIG = REALTIME_CONFIG.replace(
+    icp=dataclasses.replace(REALTIME_CONFIG.icp, rescue_estimator="", tolerance=1e-2),
+    map=MapConfig(width_mm=30720.0, height_mm=25920.0),
+    occupancy=OccupancyConfig(
+        skip_dead_rays=False, backend="fused", prune_window_margin_px=64
+    ),
+)
+
 # Per-script realtime variants (the reference tunes constants per file,
 # SURVEY.md section 2.3): presets capture each script's gates and map geometry.
 REALTIME_B_CONFIG = REALTIME_CONFIG.replace(
@@ -287,6 +310,7 @@ PRESETS = {
     "offline": OFFLINE_CONFIG,
     "realtime": REALTIME_CONFIG,
     "robust": ROBUST_CONFIG,              # hardened tracking (see above)
+    "fleet": FLEET_CONFIG,                # vmap-safe multi-robot preset
     "realtime_b": REALTIME_B_CONFIG,      # `duc/code python/b.py`
     "realtime_1": REALTIME_1_CONFIG,      # `realtime_1.py`
     "realtime_2": REALTIME_2_CONFIG,      # `realtime_2.py`

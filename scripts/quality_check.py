@@ -35,6 +35,10 @@ JOBS = {
                  {"min_accept_rate": 0.94, "max_median_rmse": 25.0}),  # measured 0.997 / 17.3 (r3)
     "scan3_robust": ("/root/reference/scan_data_3", 0, 2043, "robust",
                      {"min_accept_rate": 0.94, "max_median_rmse": 23.0}),  # measured 0.991 / 18.4 (r3)
+    "fleet": ("/root/reference/Scan_data_1", 1, 1801, "fleet",
+              {"min_accept_rate": 0.94, "max_median_rmse": 22.0}),  # measured 0.996 / 17.4 (r3);
+    # runs the ACTUAL vmapped fleet path (B=2 identical lanes) so the
+    # tick-uniform maintenance + batched kernels are what gets gated
 }
 
 
@@ -85,9 +89,20 @@ def main():
         if args.motion_model:
             cfg = cfg.replace(motion_model=True)
 
-        eng = slam.Slam(cfg)
         t0 = time.time()
-        _, outs = eng.run(scans)
+        if preset == "fleet":
+            import jax.numpy as jnp
+
+            from icp_slam_yolo_tpu.parallel.fleet import fleet_run_sequence
+
+            stack = jnp.asarray(np.stack([scans, scans]))
+            states, fouts = fleet_run_sequence(stack, cfg)
+            outs = type(fouts)(*(np.asarray(a[0]) for a in fouts))
+            n_map = int(np.asarray(states.map_valid[0]).sum())
+        else:
+            eng = slam.Slam(cfg)
+            _, outs = eng.run(scans)
+            n_map = len(eng.map_points())
         dt = time.time() - t0
         acc = np.asarray(outs.accepted)
         rm = np.asarray(outs.rmse)
@@ -95,7 +110,7 @@ def main():
         res = {
             "accept_rate": float(acc.mean()),
             "median_rmse_mm": float(np.median(rm[fin])),
-            "map_points": int(len(eng.map_points())),
+            "map_points": n_map,
             "seconds": round(dt, 1),
         }
         g = gates if not args.no_gates else {"min_accept_rate": 0.0, "max_median_rmse": 1e9}

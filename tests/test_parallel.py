@@ -129,3 +129,37 @@ def test_fleet_tick_matches_single_realtime(scan_sequence):
     )
     np.testing.assert_allclose(np.asarray(fleet_outs.pose[0]), np.asarray(single.pose), atol=1e-3)
     np.testing.assert_allclose(np.asarray(fleet_outs.pose[1]), np.asarray(single.pose), atol=1e-3)
+
+
+def test_fleet_preset_dma_eligible_and_runs(scan_sequence):
+    """The shipped `fleet` preset must stay eligible for the DMA-window grid
+    kernel (tile-shaped grid), and the vmapped replay must run + accept scans
+    under a capacity-shrunken variant of it on the CPU interpret path."""
+    import dataclasses
+
+    from icp_slam_yolo_tpu.config import FLEET_CONFIG, MapConfig
+    from icp_slam_yolo_tpu.ops.raster import _fused_grid_dims
+    from icp_slam_yolo_tpu.parallel.fleet import fleet_run_sequence
+
+    mc = FLEET_CONFIG.map
+    assert _fused_grid_dims(mc.height_px, mc.width_px, FLEET_CONFIG.occupancy) is not None
+    assert FLEET_CONFIG.icp.rescue_estimator == ""      # vmap-safe: no cond-rescue
+    assert FLEET_CONFIG.reseed_after_rejects == 0
+
+    small = FLEET_CONFIG.replace(
+        map=MapConfig(width_mm=11520.0, height_mm=11520.0),  # 384 x 384, tile-shaped
+        occupancy=dataclasses.replace(FLEET_CONFIG.occupancy, window_px=100, max_ray_px=112),
+        map_capacity=1024,
+        icp=dataclasses.replace(FLEET_CONFIG.icp, max_iterations=10),
+    )
+    assert _fused_grid_dims(384, 384, small.occupancy) is not None
+    padded = scans_io.collate(scan_sequence[:10], small.n_max)
+    stack = jnp.asarray(np.stack([padded, padded]))
+    states, outs = fleet_run_sequence(stack, small)
+    assert outs.accepted.shape == (2, 9)
+    # the 1 m min-distance realtime gate thins the stationary early scans, so
+    # a 9-scan prefix accepts only part of them (the full-dataset gate lives
+    # in scripts/quality_check.py job "fleet": 99.67% on TPU) — this smoke
+    # test only requires the loop to track at all and the lanes to agree
+    assert np.asarray(outs.accepted).mean() > 0.3
+    np.testing.assert_allclose(np.asarray(outs.pose[0]), np.asarray(outs.pose[1]), atol=1e-5)
