@@ -73,6 +73,7 @@ def cmd_serve(args):
         detector = Detector(
             num_classes=meta.get("num_classes", 1),
             img_size=meta.get("img_size", 640),
+            family=meta.get("family", "v8"),
             conf_threshold=0.5,
             params=payload,
             compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
@@ -109,7 +110,7 @@ def cmd_train(args):
     ds = DeviceYoloDataset(args.data, img_size=args.img_size, batch_size=args.batch_size,
                            max_gt=args.max_gt, augment=True, task=args.task)
     steps = args.steps or (len(ds) // args.batch_size) * args.epochs
-    model = YOLO(num_classes=args.num_classes, variant=args.variant, task=args.task)
+    model = YOLO(num_classes=args.num_classes, variant=args.variant, task=args.task, family=args.family)
     state, history = fit(model, iter(ds), args.img_size, steps)
     if args.output:
         from icp_slam_yolo_tpu.io.checkpoint import save_checkpoint
@@ -117,7 +118,8 @@ def cmd_train(args):
 
         save_checkpoint(args.output, state.params, state.batch_stats,
                         meta={"img_size": args.img_size, "num_classes": args.num_classes,
-                              "variant": args.variant, "task": args.task})
+                              "variant": args.variant, "task": args.task,
+                              "family": args.family})
         write_results_csv(history, args.output + ".results.csv")
         print(f"saved checkpoint to {args.output}")
 
@@ -136,6 +138,7 @@ def cmd_detect(args):
     import jax.numpy as jnp
 
     det = Detector(num_classes=args.num_classes, img_size=args.img_size,
+                   family=(meta.get("family", "v8") if args.weights else "v8"),
                    conf_threshold=args.conf, params=params,
                    compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16)
     for path in args.images:
@@ -290,6 +293,9 @@ def main(argv=None):
     t.add_argument("--steps", type=int, default=None)
     t.add_argument("--num-classes", type=int, default=1)
     t.add_argument("--variant", default="n")
+    t.add_argument("--family", default="v8", choices=["v8", "v11", "v12"],
+                   help="architecture generation (v11=C3k2+C2PSA, v12=area-attention "
+                        "A2C2f — the reference's yolo11n-obb / yolo12n block families)")
     t.add_argument("--task", default="detect", choices=["detect", "obb", "segment"])
     t.add_argument("--max-gt", type=int, default=32)
     t.add_argument("--output", default=None)

@@ -25,6 +25,7 @@ class Detector:
         num_classes: int = 1,
         variant: str = "n",
         task: str = "detect",
+        family: str = "v8",
         img_size: int = 640,
         conf_threshold: float = 0.5,   # `mainn.py:175` conf=0.5
         iou_threshold: float = 0.45,
@@ -33,7 +34,7 @@ class Detector:
         seed: int = 0,
         compute_dtype=jnp.bfloat16,  # MXU-native inference default; pass jnp.float32 to opt out
     ):
-        self.model = YOLO(num_classes=num_classes, variant=variant, task=task, compute_dtype=compute_dtype)
+        self.model = YOLO(num_classes=num_classes, variant=variant, task=task, family=family, compute_dtype=compute_dtype)
         self.img_size = img_size
         self.task = task
         self.conf_threshold = conf_threshold

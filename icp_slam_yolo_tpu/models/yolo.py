@@ -82,6 +82,189 @@ class C2f(nn.Module):
         return ConvBnAct(self.features, 1, dtype=self.dtype)(jnp.concatenate(parts, axis=-1), train)
 
 
+class C3k(nn.Module):
+    """CSP block with 3 convs and ``n`` hidden-width bottlenecks (the inner
+    module of v11's C3k2 when ``c3k=True``)."""
+
+    features: int
+    n: int = 2
+    e: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = max(8, int(self.features * self.e))
+        a = ConvBnAct(c, 1, dtype=self.dtype)(x, train)
+        b = ConvBnAct(c, 1, dtype=self.dtype)(x, train)
+        for _ in range(self.n):
+            a = Bottleneck(c, True, dtype=self.dtype)(a, train)
+        return ConvBnAct(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate([a, b], axis=-1), train
+        )
+
+
+class C3k2(nn.Module):
+    """v11/v12 CSP block: the C2f wiring with either plain bottlenecks or C3k
+    inner modules (yolo11/yolo12 backbone+neck staple; the reference's trained
+    models are yolo12n `train2/args.yaml:1` and yolo11n-obb
+    `runs/obb/train/args.yaml`)."""
+
+    features: int
+    n: int = 1
+    c3k: bool = False
+    e: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = max(8, int(self.features * self.e))
+        y = ConvBnAct(2 * c, 1, dtype=self.dtype)(x, train)
+        parts = [y[..., :c], y[..., c:]]
+        for _ in range(self.n):
+            if self.c3k:
+                parts.append(C3k(c, 2, dtype=self.dtype)(parts[-1], train))
+            else:
+                parts.append(Bottleneck(c, True, dtype=self.dtype)(parts[-1], train))
+        return ConvBnAct(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate(parts, axis=-1), train
+        )
+
+
+class Attention2d(nn.Module):
+    """Multi-head self-attention over an NHWC map, optionally partitioned into
+    ``area`` horizontal bands (yolo12's "area attention": full attention cost
+    divided by ``area`` with static shapes — no windows, no masks, TPU-exact).
+
+    Matmuls accumulate in f32 and the softmax runs in f32 regardless of
+    ``compute_dtype`` (bf16 logits are fine; bf16 softmax accumulation is not).
+    Follows the Ultralytics attention shape: per-head query/key width is half
+    the value width, plus a 3x3 depthwise positional conv on V.
+    """
+
+    num_heads: int
+    area: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        kd = max(hd // 2, 8)
+        q = nn.Conv(nh * kd, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        k = nn.Conv(nh * kd, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        v = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        # positional term: 3x3 depthwise conv on V in map space
+        pe = nn.Conv(c, (3, 3), padding=1, feature_group_count=c, use_bias=False,
+                     dtype=self.dtype)(v)
+
+        n = h * w
+        area = self.area if n % self.area == 0 else 1
+        t = n // area
+
+        def split(z, d):  # (B,H,W,nh*d) -> (B*area*nh, T, d)
+            z = z.reshape(b, area, t, nh, d)
+            return z.transpose(0, 1, 3, 2, 4).reshape(b * area * nh, t, d)
+
+        qs, ks, vs = split(q, kd), split(k, kd), split(v, hd)
+        logits = jnp.einsum(
+            "bnd,bmd->bnm", qs, ks, preferred_element_type=jnp.float32
+        ) * (kd ** -0.5)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(vs.dtype)
+        out = jnp.einsum("bnm,bmd->bnd", attn, vs, preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).reshape(b, area, nh, t, hd)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, h, w, c)
+        return nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype)(out + pe)
+
+
+class PSABlock(nn.Module):
+    """Attention + conv-FFN residual pair (v11's position-sensitive attention)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + Attention2d(max(self.features // 64, 1), dtype=self.dtype)(x)
+        y = ConvBnAct(self.features * 2, 1, dtype=self.dtype)(x, train)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype)(y)
+        return x + y
+
+
+class C2PSA(nn.Module):
+    """CSP-wrapped PSA stack after SPPF (yolo11 backbone tail)."""
+
+    features: int
+    n: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.features // 2
+        y = ConvBnAct(2 * c, 1, dtype=self.dtype)(x, train)
+        a, bpart = y[..., :c], y[..., c:]
+        for _ in range(self.n):
+            a = PSABlock(c, dtype=self.dtype)(a, train)
+        return ConvBnAct(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate([a, bpart], axis=-1), train
+        )
+
+
+class ABlock(nn.Module):
+    """Area-attention block: A2 attention + 1.2x conv-MLP, both residual
+    (yolo12's attention primitive)."""
+
+    features: int
+    area: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x + Attention2d(max(self.features // 32, 1), self.area, dtype=self.dtype)(x)
+        mid = max(8, int(self.features * 1.2))
+        y = ConvBnAct(mid, 1, dtype=self.dtype)(x, train)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+                         dtype=self.dtype)(y)
+        return x + y
+
+
+class A2C2f(nn.Module):
+    """yolo12's R-ELAN-style block: C2f wiring whose inner modules are pairs
+    of area-attention blocks (``a2=True``) or C3k blocks (``a2=False``), with
+    a learned residual scale when shapes allow."""
+
+    features: int
+    n: int = 1
+    a2: bool = True
+    area: int = 1
+    e: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = max(8, int(self.features * self.e))
+        y = ConvBnAct(c, 1, dtype=self.dtype)(x, train)
+        parts = [y]
+        for _ in range(self.n):
+            z = parts[-1]
+            if self.a2:
+                z = ABlock(c, self.area, dtype=self.dtype)(z, train)
+                z = ABlock(c, self.area, dtype=self.dtype)(z, train)
+            else:
+                z = C3k(c, 2, dtype=self.dtype)(z, train)
+            parts.append(z)
+        out = ConvBnAct(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate(parts, axis=-1), train
+        )
+        if self.a2 and x.shape[-1] == self.features:
+            gamma = self.param("gamma", nn.initializers.constant(0.01), (self.features,))
+            return x + gamma.astype(out.dtype) * out
+        return out
+
+
 class SPPF(nn.Module):
     """Spatial pyramid pooling (fast): 3 chained 5x5 max-pools."""
 
@@ -180,40 +363,90 @@ class Proto(nn.Module):
 
 
 class YOLO(nn.Module):
-    """v8-style detector.  ``variant``: n/s/m scale; ``task``: detect | obb."""
+    """YOLO detector.  ``variant``: n/s/m scale; ``task``: detect | obb |
+    segment; ``family`` selects the architecture generation:
+
+    * ``"v8"`` (default): CSP backbone with C2f blocks + SPPF, PAN-FPN neck —
+      the family all shipped checkpoints use.
+    * ``"v11"``: C3k2 blocks + SPPF + C2PSA attention tail, C3k2 neck — the
+      block structure of the reference's OBB model (yolo11n-obb,
+      `runs/obb/train/args.yaml`).
+    * ``"v12"``: attention-centric — C3k2 early stages, A2C2f area-attention
+      stages (area=4 at stride 16, global at stride 32), A2C2f neck — the
+      block structure of the reference's detect model (yolo12n,
+      `train2/args.yaml:1`).
+
+    The v11/v12 graphs follow the public model yamls at the block level
+    (channel ladders, block counts, depth/width scales); they are capability
+    ports, not weight-compatible reimplementations — reference weights are
+    PyTorch and are never loaded.
+    """
 
     num_classes: int = 1
     variant: str = "n"
     task: str = "detect"
+    family: str = "v8"
     reg_max: int = 16
     compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        depth, width = {"n": (0.33, 0.25), "s": (0.33, 0.5), "m": (0.67, 0.75)}[self.variant]
+        scales = {
+            "v8": {"n": (0.33, 0.25), "s": (0.33, 0.5), "m": (0.67, 0.75)},
+            "v11": {"n": (0.5, 0.25), "s": (0.5, 0.5), "m": (0.5, 1.0)},
+            "v12": {"n": (0.5, 0.25), "s": (0.5, 0.5), "m": (0.5, 1.0)},
+        }
+        depth, width = scales[self.family][self.variant]
         ch = [_make_divisible(c * width) for c in (64, 128, 256, 512, 1024)]
         ch[4] = min(ch[4], _make_divisible(1024 * width))
-        n1 = max(round(3 * depth), 1)
-        n2 = max(round(6 * depth), 1)
         self._ch = ch
-        self._n1, self._n2 = n1, n2
         dt = self.compute_dtype
         self.stem = ConvBnAct(ch[0], 3, 2, dtype=dt)
         self.down2 = ConvBnAct(ch[1], 3, 2, dtype=dt)
-        self.c2f_2 = C2f(ch[1], n1, True, dtype=dt)
         self.down3 = ConvBnAct(ch[2], 3, 2, dtype=dt)
-        self.c2f_3 = C2f(ch[2], n2, True, dtype=dt)
-        self.down4 = ConvBnAct(ch[3], 3, 2, dtype=dt)
-        self.c2f_4 = C2f(ch[3], n2, True, dtype=dt)
-        self.down5 = ConvBnAct(ch[4], 3, 2, dtype=dt)
-        self.c2f_5 = C2f(ch[4], n1, True, dtype=dt)
-        self.sppf = SPPF(ch[4], dtype=dt)
-        # PAN neck
-        self.neck_p4 = C2f(ch[3], n1, False, dtype=dt)
-        self.neck_p3 = C2f(ch[2], n1, False, dtype=dt)
         self.pan_d3 = ConvBnAct(ch[2], 3, 2, dtype=dt)
-        self.pan_p4 = C2f(ch[3], n1, False, dtype=dt)
         self.pan_d4 = ConvBnAct(ch[3], 3, 2, dtype=dt)
-        self.pan_p5 = C2f(ch[4], n1, False, dtype=dt)
+        if self.family == "v8":
+            n1 = max(round(3 * depth), 1)
+            n2 = max(round(6 * depth), 1)
+            self.c2f_2 = C2f(ch[1], n1, True, dtype=dt)
+            self.c2f_3 = C2f(ch[2], n2, True, dtype=dt)
+            self.down4 = ConvBnAct(ch[3], 3, 2, dtype=dt)
+            self.c2f_4 = C2f(ch[3], n2, True, dtype=dt)
+            self.down5 = ConvBnAct(ch[4], 3, 2, dtype=dt)
+            self.c2f_5 = C2f(ch[4], n1, True, dtype=dt)
+            self.sppf = SPPF(ch[4], dtype=dt)
+            self.neck_p4 = C2f(ch[3], n1, False, dtype=dt)
+            self.neck_p3 = C2f(ch[2], n1, False, dtype=dt)
+            self.pan_p4 = C2f(ch[3], n1, False, dtype=dt)
+            self.pan_p5 = C2f(ch[4], n1, False, dtype=dt)
+        elif self.family == "v11":
+            n = max(round(2 * depth), 1)
+            self.b2 = C3k2(ch[2], n, False, 0.25, dtype=dt)
+            self.b3 = C3k2(ch[3], n, False, 0.25, dtype=dt)
+            self.down4 = ConvBnAct(ch[3], 3, 2, dtype=dt)
+            self.b4 = C3k2(ch[3], n, True, dtype=dt)
+            self.down5 = ConvBnAct(ch[4], 3, 2, dtype=dt)
+            self.b5 = C3k2(ch[4], n, True, dtype=dt)
+            self.sppf = SPPF(ch[4], dtype=dt)
+            self.psa = C2PSA(ch[4], n, dtype=dt)
+            self.neck_p4 = C3k2(ch[3], n, False, dtype=dt)
+            self.neck_p3 = C3k2(ch[2], n, False, dtype=dt)
+            self.pan_p4 = C3k2(ch[3], n, False, dtype=dt)
+            self.pan_p5 = C3k2(ch[4], n, True, dtype=dt)
+        elif self.family == "v12":
+            n = max(round(2 * depth), 1)
+            self.b2 = C3k2(ch[2], n, False, 0.25, dtype=dt)
+            self.b3 = C3k2(ch[3], n, False, 0.25, dtype=dt)
+            self.down4 = ConvBnAct(ch[3], 3, 2, dtype=dt)
+            self.b4 = A2C2f(ch[3], 2 * n, True, 4, dtype=dt)
+            self.down5 = ConvBnAct(ch[4], 3, 2, dtype=dt)
+            self.b5 = A2C2f(ch[4], 2 * n, True, 1, dtype=dt)
+            self.neck_p4 = A2C2f(ch[3], n, False, dtype=dt)
+            self.neck_p3 = A2C2f(ch[2], n, False, dtype=dt)
+            self.pan_p4 = A2C2f(ch[3], n, False, dtype=dt)
+            self.pan_p5 = C3k2(ch[4], n, True, dtype=dt)
+        else:
+            raise ValueError(f"unknown family: {self.family}")
         if self.task == "obb":
             self.head = OBBHead(self.num_classes, self.reg_max, dtype=dt)
         elif self.task == "segment":
@@ -222,22 +455,38 @@ class YOLO(nn.Module):
         else:
             self.head = DetectHead(self.num_classes, self.reg_max, dtype=dt)
 
+    def _backbone(self, x, train: bool):
+        """Returns the (P3, P4, P5) pyramid (strides 8/16/32)."""
+        x = self.stem(x, train)
+        x = self.down2(x, train)
+        if self.family == "v8":
+            x = self.c2f_2(x, train)
+            x = self.down3(x, train)
+            p3 = self.c2f_3(x, train)
+            x = self.down4(p3, train)
+            p4 = self.c2f_4(x, train)
+            x = self.down5(p4, train)
+            x = self.c2f_5(x, train)
+            p5 = self.sppf(x, train)
+        else:
+            x = self.b2(x, train)
+            x = self.down3(x, train)
+            p3 = self.b3(x, train)
+            x = self.down4(p3, train)
+            p4 = self.b4(x, train)
+            x = self.down5(p4, train)
+            p5 = self.b5(x, train)
+            if self.family == "v11":
+                p5 = self.psa(self.sppf(p5, train), train)
+        return p3, p4, p5
+
     def __call__(self, images, train: bool = False):
         """images: ``(B, H, W, 3)`` float in [0, 1]; H, W divisible by 32.
 
         Returns the per-level raw head outputs (decode with `decode_predictions`).
         """
         x = images.astype(self.compute_dtype)
-        x = self.stem(x, train)
-        x = self.down2(x, train)
-        x = self.c2f_2(x, train)
-        x = self.down3(x, train)
-        p3 = self.c2f_3(x, train)
-        x = self.down4(p3, train)
-        p4 = self.c2f_4(x, train)
-        x = self.down5(p4, train)
-        x = self.c2f_5(x, train)
-        p5 = self.sppf(x, train)
+        p3, p4, p5 = self._backbone(x, train)
 
         u4 = jnp.concatenate([_upsample2(p5), p4], axis=-1)
         n4 = self.neck_p4(u4, train)

@@ -169,3 +169,29 @@ def test_load_example_letterboxes_boxes():
     # aspect preserved: width/height ratio of the box matches the original
     np.testing.assert_allclose((x2 - x1) / (y2 - y1), 160 / 240, rtol=1e-5)
     np.testing.assert_allclose([x1, y1], [240 * scale + px, 120 * scale + py], rtol=1e-5)
+
+
+def test_family_variants_forward_and_decode():
+    """v11 (C3k2 + C2PSA) and v12 (area-attention A2C2f) families: init,
+    forward, decode — same head contract as v8; param counts in the
+    yolo11n/yolo12n class (~2.5-3M at width 0.25)."""
+    import numpy as np
+
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    for fam, lo, hi in (("v11", 2.0e6, 3.5e6), ("v12", 2.0e6, 3.5e6)):
+        model = YOLO(num_classes=1, family=fam)
+        vs = model.init(jax.random.PRNGKey(0), x, train=False)
+        outs = model.apply(vs, x, train=False)
+        boxes, scores, extras = decode_predictions(outs, 128)
+        assert boxes.shape == (1, 336, 4) and scores.shape == (1, 336, 1)
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(vs["params"]))
+        assert lo < n < hi, (fam, n)
+
+
+def test_family_obb_head():
+    model = YOLO(num_classes=1, task="obb", family="v11")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    vs = model.init(jax.random.PRNGKey(0), x, train=False)
+    outs = model.apply(vs, x, train=False)
+    boxes, scores, angles = decode_predictions(outs, 64)
+    assert angles.shape == (1, 84)
