@@ -26,6 +26,7 @@ def main():
                     help="evaluate mAP50 every N steps and record the first "
                          "crossing of --target-map50 (time-to-quality)")
     ap.add_argument("--target-map50", type=float, default=0.99)
+    ap.add_argument("--family", default="v8", choices=["v8", "v11", "v12"])
     ap.add_argument("--out", default="/tmp/pallet_ckpt")
     args = ap.parse_args()
 
@@ -41,7 +42,7 @@ def main():
     ds = DeviceYoloDataset(args.data + "/train", img_size=args.img_size,
                            batch_size=args.batch_size, max_gt=16, augment=True)
     print(f"train images: {len(ds)} (device-resident)", flush=True)
-    model = YOLO(num_classes=1)
+    model = YOLO(num_classes=1, family=args.family)
     state, tx = create_train_state(model, args.img_size, total_steps=args.steps)
     step_fn = jax.jit(make_train_step(model, tx, args.img_size))
 
@@ -62,13 +63,13 @@ def main():
         if (i + 1) % 250 == 0:
             save_checkpoint(args.out, state.params, state.batch_stats,
                             meta={"img_size": args.img_size, "num_classes": 1,
-                                  "variant": "n", "task": "detect", "steps": i + 1})
+                                  "variant": "n", "task": "detect", "family": args.family, "steps": i + 1})
         # time-to-quality: periodic val eval until the target mAP50 is crossed
         # (eval wall time is excluded from the reported crossing time — the
         # reference's per-epoch `time` column likewise excludes its val pass)
         if args.eval_every and (i + 1) % args.eval_every == 0 and hit_step is None:
             train_elapsed += time.time() - t0
-            det = Detector(num_classes=1, img_size=args.img_size,
+            det = Detector(num_classes=1, img_size=args.img_size, family=args.family,
                            params={"params": state.params, "batch_stats": state.batch_stats})
             m = evaluate_detector(det, args.data + "/val", args.img_size,
                                   max_images=args.eval_images)
@@ -82,10 +83,10 @@ def main():
         train_elapsed += time.time() - t0
     save_checkpoint(args.out, state.params, state.batch_stats,
                     meta={"img_size": args.img_size, "num_classes": 1,
-                          "variant": "n", "task": "detect", "steps": args.steps})
+                          "variant": "n", "task": "detect", "family": args.family, "steps": args.steps})
     print(f"checkpoint saved to {args.out}", flush=True)
 
-    det = Detector(num_classes=1, img_size=args.img_size,
+    det = Detector(num_classes=1, img_size=args.img_size, family=args.family,
                    params={"params": state.params, "batch_stats": state.batch_stats})
     m = evaluate_detector(det, args.data + "/val", args.img_size, max_images=args.eval_images)
     if args.eval_every:
