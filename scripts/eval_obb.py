@@ -38,6 +38,7 @@ def main():
     det = Detector(
         num_classes=meta.get("num_classes", 1),
         variant=meta.get("variant", "n"),
+        family=meta.get("family", "v8"),
         task="obb",
         img_size=meta.get("img_size", 1024),
         params=payload,

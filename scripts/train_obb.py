@@ -19,6 +19,7 @@ def main():
     ap.add_argument("--img-size", type=int, default=640)  # ref used 1024; 640 fits the chip budget
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--family", default="v8", choices=["v8", "v11", "v12"])
     ap.add_argument("--out", default="/tmp/obb_ckpt")
     args = ap.parse_args()
 
@@ -30,7 +31,7 @@ def main():
     ds = DeviceYoloDataset(args.data + "/training", img_size=args.img_size,
                      batch_size=args.batch_size, max_gt=16, task="obb")
     print(f"obb train images: {len(ds)}", flush=True)
-    model = YOLO(num_classes=1, task="obb")
+    model = YOLO(num_classes=1, task="obb", family=args.family)
     state, tx = create_train_state(model, args.img_size, total_steps=args.steps)
     step_fn = jax.jit(make_train_step(model, tx, args.img_size))
     it = iter(ds)
@@ -47,7 +48,7 @@ def main():
             )
     save_checkpoint(args.out, state.params, state.batch_stats,
                     meta={"img_size": args.img_size, "num_classes": 1, "variant": "n",
-                          "task": "obb", "steps": args.steps})
+                          "task": "obb", "family": args.family, "steps": args.steps})
     print(f"checkpoint saved to {args.out}", flush=True)
 
 
