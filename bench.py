@@ -68,11 +68,18 @@ def bench_baseline(src, tgt, repeats: int = 20) -> float:
 def _timed_fetch(fn, args, perturb, repeats: int = 4) -> float:
     """Median wall time of ``float(fn(*args))`` with per-repeat unique inputs
     (the relay content-caches identical executions).  ``perturb(args, k)``
-    must return a uniquely-perturbed argument tuple."""
+    must return a uniquely-perturbed argument tuple.  ``k`` is salted with a
+    per-process random offset so repeated bench calls (same process or not)
+    never replay an input the relay has already seen — without the salt, a
+    second call re-issues k=1..N and every repeat cache-hits, which makes
+    ``tN - base`` collapse to ~0 and the reported rate explode."""
+    import os
+
+    salt = 1.0 + int.from_bytes(os.urandom(4), "little") % 997 / 997.0
     float(fn(*args))  # compile + warm
     times = []
     for k in range(repeats):
-        a = perturb(args, k + 1)
+        a = perturb(args, (k + 1) * salt)
         t0 = time.perf_counter()
         float(fn(*a))
         times.append(time.perf_counter() - t0)
@@ -132,10 +139,14 @@ def bench_tpu(src, tgt, batch: int = 64, n_calls: int = 20) -> float:
     return batch * n_calls / max(tN - base, 1e-9)
 
 
-def bench_single_pair(src, tgt, n_calls: int = 100):
+def bench_single_pair(src, tgt, n_calls: int = 1000):
     """B=1 registration latency in ms (the sequential-replay regime: the
     `lax.scan` replay path runs exactly one registration at a time, so this
-    latency bounds full-replay scans/s).  Returns (converged, fixed-50-iter)."""
+    latency bounds full-replay scans/s).  Returns (converged, fixed-50-iter).
+
+    1000 calls, not 100: a converged chain runs ~20-30 us/call, so a 100-call
+    chain (~2-3 ms) sits below the relay's ~25 ms RTT jitter and the
+    base-subtraction clamp reported 0.0 ms."""
     out = []
     for early_exit in (True, False):
         perturb = lambda args, k: (args[0] + 1e-6 * k,)
@@ -329,8 +340,10 @@ def bench_fused(n_calls: int = 8) -> float:
         return prog
 
     perturb = lambda args, k: (args[0], args[1].at[:, 2].add(1e-4 * k), args[2])
-    base = _timed_fetch(chain(0), (state0, scan, frames), perturb, repeats=3)
-    tN = _timed_fetch(chain(n_calls), (state0, scan, frames), perturb, repeats=3)
+    # repeats=6: this bench showed the widest run-to-run spread behind the
+    # relay (774 vs 1,315 ticks/s on consecutive --all runs at median-of-3)
+    base = _timed_fetch(chain(0), (state0, scan, frames), perturb, repeats=6)
+    tN = _timed_fetch(chain(n_calls), (state0, scan, frames), perturb, repeats=6)
     return n_calls / max(tN - base, 1e-9)
 
 
