@@ -139,14 +139,15 @@ def bench_tpu(src, tgt, batch: int = 64, n_calls: int = 20) -> float:
     return batch * n_calls / max(tN - base, 1e-9)
 
 
-def bench_single_pair(src, tgt, n_calls: int = 1000):
+def bench_single_pair(src, tgt, n_calls: int = 2500):
     """B=1 registration latency in ms (the sequential-replay regime: the
     `lax.scan` replay path runs exactly one registration at a time, so this
     latency bounds full-replay scans/s).  Returns (converged, fixed-50-iter).
 
-    1000 calls, not 100: a converged chain runs ~20-30 us/call, so a 100-call
+    2500 calls, not 100: a converged chain runs ~20-30 us/call, so a 100-call
     chain (~2-3 ms) sits below the relay's ~25 ms RTT jitter and the
-    base-subtraction clamp reported 0.0 ms."""
+    base-subtraction clamp reported 0.0 ms; even 1000 calls (~25 ms) left the
+    converged reading swinging 2x between runs (0.035 vs 0.072 ms)."""
     out = []
     for early_exit in (True, False):
         perturb = lambda args, k: (args[0] + 1e-6 * k,)
@@ -185,7 +186,7 @@ def bench_sequence(n_scans: int = 300, preset: str | None = None) -> float:
         return state.pose[0] + jnp.sum(outs.rmse * 0)
 
     base = _measure_fetch_overhead()
-    t = _timed_fetch(prog, (scans,), lambda a, k: (a[0].at[:, :, 2].add(1e-4 * k),), repeats=3)
+    t = _timed_fetch(prog, (scans,), lambda a, k: (a[0].at[:, :, 2].add(1e-4 * k),), repeats=4)
     return len(scans) / max(t - base, 1e-9)
 
 
@@ -297,7 +298,7 @@ def bench_train(batch: int = 16, img_size: int = 640, n_calls: int = 4) -> float
     return n_calls / max(tN - base, 1e-9)
 
 
-def bench_fused(n_calls: int = 8) -> float:
+def bench_fused(n_calls: int = 48) -> float:
     """Fused SLAM+YOLO loop (BASELINE.json config 4): one tick = one SLAM
     scan step + one stereo-pair detect (batch-2 forward+decode+NMS), chained
     in ONE jitted program with a data dependency between the two (detections
@@ -340,8 +341,11 @@ def bench_fused(n_calls: int = 8) -> float:
         return prog
 
     perturb = lambda args, k: (args[0], args[1].at[:, 2].add(1e-4 * k), args[2])
-    # repeats=6: this bench showed the widest run-to-run spread behind the
-    # relay (774 vs 1,315 ticks/s on consecutive --all runs at median-of-3)
+    # This bench showed the widest run-to-run spread behind the relay (774 vs
+    # 1,315 ticks/s on consecutive --all runs): at the old n_calls=8 the chain
+    # ran ~8 ms of device work against a ~25 ms RTT base, so the subtraction
+    # was mostly relay jitter.  48 ticks (~40-60 ms of signal) + repeats=6
+    # puts the signal above the noise floor.
     base = _timed_fetch(chain(0), (state0, scan, frames), perturb, repeats=6)
     tN = _timed_fetch(chain(n_calls), (state0, scan, frames), perturb, repeats=6)
     return n_calls / max(tN - base, 1e-9)
@@ -389,7 +393,7 @@ def bench_fleet(n_robots: int = 8, n_scans: int = 100) -> float:
         return jnp.sum(state.pose)
 
     base = _measure_fetch_overhead()
-    t = _timed_fetch(prog, (stack,), lambda a, k: (a[0].at[:, :, :, 2].add(1e-4 * k),), repeats=3)
+    t = _timed_fetch(prog, (stack,), lambda a, k: (a[0].at[:, :, :, 2].add(1e-4 * k),), repeats=4)
     return n_robots * n_scans / max(t - base, 1e-9)
 
 
@@ -417,7 +421,7 @@ def bench_fleet_matched_single(n_scans: int = 300) -> float:
         return state.pose[0] + jnp.sum(outs.rmse * 0)
 
     base = _measure_fetch_overhead()
-    t = _timed_fetch(prog, (scans,), lambda a, k: (a[0].at[:, :, 2].add(1e-4 * k),), repeats=3)
+    t = _timed_fetch(prog, (scans,), lambda a, k: (a[0].at[:, :, 2].add(1e-4 * k),), repeats=4)
     return len(scans) / max(t - base, 1e-9)
 
 
