@@ -108,7 +108,8 @@ def cmd_train(args):
     from icp_slam_yolo_tpu.models.yolo import YOLO
 
     ds = DeviceYoloDataset(args.data, img_size=args.img_size, batch_size=args.batch_size,
-                           max_gt=args.max_gt, augment=True, task=args.task)
+                           max_gt=args.max_gt, augment=True, task=args.task,
+                           label_root=getattr(args, "label_dir", None))
     steps = args.steps or (len(ds) // args.batch_size) * args.epochs
     model = YOLO(num_classes=args.num_classes, variant=args.variant, task=args.task, family=args.family)
     state, history = fit(model, iter(ds), args.img_size, steps)
@@ -296,8 +297,10 @@ def main(argv=None):
     t.add_argument("--family", default="v8", choices=["v8", "v11", "v12"],
                    help="architecture generation (v11=C3k2+C2PSA, v12=area-attention "
                         "A2C2f — the reference's yolo11n-obb / yolo12n block families)")
-    t.add_argument("--task", default="detect", choices=["detect", "obb", "segment"])
+    t.add_argument("--task", default="detect", choices=["detect", "obb", "segment", "pose"])
     t.add_argument("--max-gt", type=int, default=32)
+    t.add_argument("--label-dir", default=None,
+                   help="labels in a separate dir (pose: images=camera_data, labels=output_pose)")
     t.add_argument("--output", default=None)
     t.set_defaults(fn=cmd_train)
 

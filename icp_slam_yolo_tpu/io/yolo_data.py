@@ -16,10 +16,18 @@ import numpy as np
 from PIL import Image
 
 
-def find_pairs(root: str) -> list[tuple[str, str]]:
-    """``(image, label)`` path pairs.  Accepts both ``root/{images,labels}``
-    subdirs and flat dirs with txt next to jpg (the reference uses both)."""
+def find_pairs(root: str, label_root: str | None = None) -> list[tuple[str, str]]:
+    """``(image, label)`` path pairs.  Accepts ``root/{images,labels}``
+    subdirs, flat dirs with txt next to jpg (the reference uses both), and —
+    via ``label_root`` — split image/label dirs (the reference's pose set:
+    images in ``camera_data/``, labels in ``output_pose/``)."""
     pairs = []
+    if label_root is not None:
+        for name in sorted(os.listdir(root)):
+            stem, ext = os.path.splitext(name)
+            if ext.lower() in (".jpg", ".jpeg", ".png"):
+                pairs.append((os.path.join(root, name), os.path.join(label_root, stem + ".txt")))
+        return pairs
     img_dir = os.path.join(root, "images")
     lbl_dir = os.path.join(root, "labels")
     if os.path.isdir(img_dir) and os.path.isdir(lbl_dir):
@@ -61,6 +69,36 @@ def parse_label_file(path: str):
     return np.array(classes, np.int32).reshape(-1), np.array(boxes, np.float64).reshape(-1, 4)
 
 
+def parse_pose_label(path: str):
+    """Pose label rows ``class cx cy w h + K x (x y vis)`` (all normalised;
+    the reference labeler's pose format, `labels_segmentation.py:107-112`)
+    -> ``(classes (M,), cxcywh (M, 4), kpts (M, K, 3))``.
+
+    The checked-in labels order the corners consistently (top-left,
+    top-right, bottom-right, bottom-left — verified over `output_pose/`),
+    matching the tl/tr/br/bl naming `obb2.py:7-104` reconstructs by sorting;
+    visibility is stored binarised (label flag ``2`` = visible -> 1.0).
+    """
+    classes, boxes, kpts = [], [], []
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                vals = line.split()
+                if len(vals) < 8 or (len(vals) - 5) % 3 != 0:
+                    continue
+                classes.append(int(float(vals[0])))
+                boxes.append([float(v) for v in vals[1:5]])
+                k = np.array([float(v) for v in vals[5:]]).reshape(-1, 3)
+                k[:, 2] = (k[:, 2] > 0).astype(np.float64)
+                kpts.append(k)
+    n_kpt = kpts[0].shape[0] if kpts else 4
+    return (
+        np.array(classes, np.int32).reshape(-1),
+        np.array(boxes, np.float64).reshape(-1, 4),
+        np.array(kpts, np.float64).reshape(-1, n_kpt, 3),
+    )
+
+
 def parse_polygons(path: str):
     """Polygon label rows -> ``(classes, [poly (K, 2) normalised ...])``."""
     classes, polys = [], []
@@ -98,6 +136,10 @@ def rasterize_polygon(poly_px: np.ndarray, size: int) -> np.ndarray:
 
 
 LETTERBOX_FILL = 114.0 / 255.0  # Ultralytics pad gray
+
+# pose corner order is [tl, tr, br, bl] (see `parse_pose_label`); a horizontal
+# mirror exchanges left<->right corners
+KPT_FLIP_PERM = np.array([1, 0, 3, 2])
 
 
 def letterbox_transform(w0: int, h0: int, size: int):
@@ -167,13 +209,16 @@ class DeviceYoloDataset:
     """
 
     def __init__(self, root: str, img_size: int = 640, batch_size: int = 16, max_gt: int = 32,
-                 seed: int = 0, augment: bool = False, task: str = "detect"):
+                 seed: int = 0, augment: bool = False, task: str = "detect",
+                 label_root: str | None = None, pairs: list | None = None, n_kpt: int = 4):
         import jax
         import jax.numpy as jnp
 
-        pairs = find_pairs(root)
+        pairs = pairs if pairs is not None else find_pairs(root, label_root)
         if not pairs:
             raise FileNotFoundError(f"no images under {root}")
+        if task == "pose" and augment and n_kpt != len(KPT_FLIP_PERM):
+            raise ValueError(f"hflip augment assumes {len(KPT_FLIP_PERM)} tl/tr/br/bl keypoints, got n_kpt={n_kpt}")
         n, s, m = len(pairs), img_size, max_gt
         sp = s // 4  # proto-mask resolution
         images = np.zeros((n, s, s, 3), np.float32)
@@ -182,8 +227,9 @@ class DeviceYoloDataset:
         valid = np.zeros((n, m), bool)
         angles = np.zeros((n, m), np.float32)
         masks = np.zeros((n, m, sp, sp), np.float32) if task == "segment" else None
+        kpts = np.zeros((n, m, n_kpt, 3), np.float32) if task == "pose" else None
         for i, (ip, lp) in enumerate(pairs):
-            img, cls, bxs, (_, _, _, w0, h0) = load_example(ip, lp, s)
+            img, cls, bxs, (scale, px, py, w0, h0) = load_example(ip, lp, s)
             images[i] = img
             k = min(len(cls), m)
             boxes[i, :k] = bxs[:k]
@@ -198,6 +244,12 @@ class DeviceYoloDataset:
                 _, polys = parse_polygons(lp)
                 for j, poly in enumerate(polys[:m]):
                     masks[i, j] = rasterize_polygon(map_polygon(poly, w0, h0, s) * (sp / s), sp)
+            elif task == "pose":
+                _, _, kp = parse_pose_label(lp)
+                for j, kj in enumerate(kp[:m]):
+                    kpts[i, j, :, 0] = kj[:, 0] * w0 * scale + px
+                    kpts[i, j, :, 1] = kj[:, 1] * h0 * scale + py
+                    kpts[i, j, :, 2] = kj[:, 2]
         self.n = n
         self.img_size = s
         self.batch_size = batch_size
@@ -214,6 +266,8 @@ class DeviceYoloDataset:
             self._d["angles"] = jax.device_put(angles)
         if task == "segment":
             self._d["masks"] = jax.device_put(masks)
+        if task == "pose":
+            self._d["kpts"] = jax.device_put(kpts)
 
         @jax.jit
         def gather(data, idx, flips):
@@ -247,6 +301,14 @@ class DeviceYoloDataset:
                 if augment:
                     mk = jnp.where(flips[:, None, None, None], mk[:, :, :, ::-1], mk)
                 out["masks"] = mk
+            if "kpts" in data:
+                kp = data["kpts"][idx]
+                if augment:
+                    # mirror x, then swap left/right corners so the ordered
+                    # tl/tr/br/bl semantics survive the flip
+                    fk = kp.at[..., 0].set(s - kp[..., 0])[:, :, KPT_FLIP_PERM]
+                    kp = jnp.where(flips[:, None, None, None], fk, kp)
+                out["kpts"] = kp
             return out
 
         self._gather = gather

@@ -33,8 +33,10 @@ class Detector:
         params=None,
         seed: int = 0,
         compute_dtype=jnp.bfloat16,  # MXU-native inference default; pass jnp.float32 to opt out
+        n_kpt: int = 4,
     ):
-        self.model = YOLO(num_classes=num_classes, variant=variant, task=task, family=family, compute_dtype=compute_dtype)
+        self.model = YOLO(num_classes=num_classes, variant=variant, task=task, family=family,
+                          n_kpt=n_kpt, compute_dtype=compute_dtype)
         self.img_size = img_size
         self.task = task
         self.conf_threshold = conf_threshold
@@ -56,7 +58,7 @@ class Detector:
         protos = None
         if self.task == "segment":
             outs, protos = outs  # (head outputs, (B, Hp, Wp, P) mask bases)
-        boxes, scores, extras = decode_predictions(outs, self.img_size)
+        boxes, scores, extras = decode_predictions(outs, self.img_size, task=self.task)
 
         def one(b, s):
             conf, cls = best_class(s)
@@ -115,7 +117,15 @@ class Detector:
             # extras output corresponds to row i of out["boxes"])
             kept = np.asarray(dets.anchor_idx[0])[valid]
             gathered = np.asarray(extras[0])[kept]
-            out["angles" if self.task == "obb" else "mask_coeffs"] = gathered
+            if self.task == "pose":
+                # ordered tl/tr/br/bl corners unmapped to ORIGINAL frame px —
+                # directly consumable by `stereo_to_3d`/`estimate_3d_pose`
+                gathered = gathered.copy()
+                gathered[..., 0] = (gathered[..., 0] - px) / scale
+                gathered[..., 1] = (gathered[..., 1] - py) / scale
+                out["keypoints"] = gathered  # (N, K, 3) [x, y, vis]
+            else:
+                out["angles" if self.task == "obb" else "mask_coeffs"] = gathered
         if protos is not None:
             from icp_slam_yolo_tpu.models.segment import assemble_masks
 

@@ -281,3 +281,64 @@ def segmentation_loss(
 
 def optax_sigmoid_bce(logits, labels):
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def pose_loss(
+    outs,
+    gt_boxes: jnp.ndarray,    # (B, M, 4) xyxy pixels
+    gt_classes: jnp.ndarray,  # (B, M)
+    gt_valid: jnp.ndarray,    # (B, M)
+    gt_kpts: jnp.ndarray,     # (B, M, K, 3) [x_px, y_px, vis(0/1)]
+    img_size: int,
+    num_classes: int,
+    reg_max: int = 16,
+    weights: LossWeights = LossWeights(),
+    kpt_weight: float = 12.0,   # Ultralytics `pose` gain default
+    kobj_weight: float = 1.0,   # Ultralytics `kobj` gain default
+):
+    """Detection loss + OKS keypoint-location loss + visibility BCE (v8-pose
+    style).  Ground truth is the reference labeler's pose format — bbox plus
+    K ordered corner keypoints with visibility flags
+    (`labels_segmentation.py:107-112`).
+
+    Location term per foreground anchor: ``1 - exp(-d2 / (2 * area * (2s)^2))``
+    with uniform per-keypoint sigma ``s = 1/K`` and ``area`` the assigned gt
+    box area — the OKS kernel, averaged over visible keypoints, weighted by
+    the assignment score like the box terms.
+    """
+    det_total, metrics, aux = detection_loss(
+        outs, gt_boxes, gt_classes, gt_valid, img_size, num_classes, reg_max,
+        weights, return_aux=True,
+    )
+    from icp_slam_yolo_tpu.models.yolo import decode_keypoints, make_anchors
+
+    anchors, strides = make_anchors(img_size)
+    kpt_l = jnp.concatenate(
+        [o[2].reshape(o[2].shape[0], -1, o[2].shape[-1]) for o in outs], axis=1
+    ).astype(jnp.float32)  # (B, A, K*3)
+    pred = decode_keypoints(kpt_l, anchors, strides)  # (B, A, K, 3) px + vis prob
+    vis_logit = kpt_l.reshape(*pred.shape)[..., 2]    # raw logits for the BCE
+
+    assigned, w_fg, norm = aux["assigned_gt"], aux["w_fg"], aux["norm"]
+    tgt = jnp.take_along_axis(gt_kpts, assigned[..., None, None], axis=1)  # (B, A, K, 3)
+    tgt_boxes = jnp.take_along_axis(gt_boxes, assigned[..., None], axis=1)
+    area = jnp.maximum(
+        (tgt_boxes[..., 2] - tgt_boxes[..., 0]) * (tgt_boxes[..., 3] - tgt_boxes[..., 1]),
+        1.0,
+    )  # (B, A)
+
+    k = pred.shape[-2]
+    sigma = 1.0 / k
+    kpt_mask = (tgt[..., 2] > 0).astype(jnp.float32)  # (B, A, K)
+    d2 = jnp.sum((pred[..., :2] - tgt[..., :2]) ** 2, axis=-1)  # (B, A, K)
+    e = d2 / (2.0 * area[..., None] * (2.0 * sigma) ** 2 + 1e-9)
+    oks_term = (1.0 - jnp.exp(-e)) * kpt_mask
+    per_anchor = jnp.sum(oks_term, axis=-1) / jnp.maximum(jnp.sum(kpt_mask, axis=-1), 1.0)
+    loss_kpt = jnp.sum(per_anchor * w_fg) / norm
+
+    bce_v = optax_sigmoid_bce(vis_logit, kpt_mask)
+    loss_kobj = jnp.sum(jnp.mean(bce_v, axis=-1) * w_fg) / norm
+
+    total = det_total + kpt_weight * loss_kpt + kobj_weight * loss_kobj
+    metrics = dict(metrics, loss_kpt=loss_kpt, loss_kobj=loss_kobj, loss=total)
+    return total, metrics

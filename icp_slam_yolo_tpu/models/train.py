@@ -93,6 +93,13 @@ def make_train_step(model: YOLO, tx, img_size: int, weights: LossWeights = LossW
                 outs, protos, batch["boxes"], batch["classes"], batch["valid"],
                 batch["masks"], img_size, model.num_classes, model.reg_max, weights,
             )
+        elif model.task == "pose":
+            from icp_slam_yolo_tpu.models.losses import pose_loss
+
+            total, metrics = pose_loss(
+                out, batch["boxes"], batch["classes"], batch["valid"],
+                batch["kpts"], img_size, model.num_classes, model.reg_max, weights,
+            )
         else:
             total, metrics = detection_loss(
                 out, batch["boxes"], batch["classes"], batch["valid"],

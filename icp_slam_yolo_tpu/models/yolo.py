@@ -326,6 +326,39 @@ class OBBHead(DetectHead):
         return full
 
 
+class PoseHead(DetectHead):
+    """Adds a per-anchor keypoint branch: ``n_kpt`` ordered keypoints, each
+    ``(dx, dy, visibility-logit)`` — v8-pose capability.
+
+    The reference's labeler writes exactly this ground truth (pose rows
+    ``class cx cy w h + 4x(x y vis)``, `labels_segmentation.py:107-112`,
+    799 labeled frames in `output_pose/`) but never trains on it; its corner
+    ordering is consistent (top-left, top-right, bottom-right, bottom-left —
+    the same tl/tr/br/bl naming `obb2.py:7-104` reconstructs by sorting), so
+    a pose model yields ORDERED pallet corners directly: one frame -> the 4
+    corner correspondences that `stereo_to_3d` (`img.py:3-14`) and the PnP
+    pose solver (`obb2.py:105-126`) need, with no corner-sorting heuristics.
+
+    Decode (`decode_predictions(task="pose")`): per keypoint,
+    ``xy_px = raw_xy * 2 * stride + (anchor_px - stride/2)`` and
+    ``vis = sigmoid(raw_v)``.
+    """
+
+    n_kpt: int = 4
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        outs = super().__call__(feats, train)
+        full = []
+        c4 = max(feats[0].shape[-1] // 4, self.n_kpt * 3)
+        for f, (box, cls) in zip(feats, outs):
+            kp = ConvBnAct(c4, 3, dtype=self.dtype)(f, train)
+            kp = ConvBnAct(c4, 3, dtype=self.dtype)(kp, train)
+            kp = nn.Conv(self.n_kpt * 3, (1, 1), dtype=self.dtype)(kp)
+            full.append((box, cls, kp))
+        return full
+
+
 class SegmentHead(DetectHead):
     """Adds per-anchor mask coefficients (v8-seg capability — the reference's
     auto-labeler consumes `r.masks.data` from a seg model,
@@ -387,6 +420,7 @@ class YOLO(nn.Module):
     task: str = "detect"
     family: str = "v8"
     reg_max: int = 16
+    n_kpt: int = 4
     compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -452,6 +486,8 @@ class YOLO(nn.Module):
         elif self.task == "segment":
             self.head = SegmentHead(self.num_classes, self.reg_max, dtype=dt)
             self.proto = Proto(dtype=dt)
+        elif self.task == "pose":
+            self.head = PoseHead(self.num_classes, self.reg_max, n_kpt=self.n_kpt, dtype=dt)
         else:
             self.head = DetectHead(self.num_classes, self.reg_max, dtype=dt)
 
@@ -526,11 +562,26 @@ def dfl_decode(box_logits: jnp.ndarray, reg_max: int = 16) -> jnp.ndarray:
     return jnp.sum(probs * bins, axis=-1)  # (..., 4)
 
 
-def decode_predictions(outs, img_size: int, reg_max: int = 16):
+def decode_keypoints(raw: jnp.ndarray, anchors: jnp.ndarray, strides: jnp.ndarray) -> jnp.ndarray:
+    """Raw pose-head output ``(..., A, K*3)`` -> ``(..., A, K, 3)`` decoded
+    ``[x_px, y_px, visibility]``: ``xy = raw*2*stride + (anchor - stride/2)``
+    (the v8-pose decode), visibility through a sigmoid."""
+    k3 = raw.shape[-1]
+    kpts = raw.reshape(*raw.shape[:-1], k3 // 3, 3).astype(jnp.float32)
+    base = anchors - 0.5 * strides[:, None]  # (A, 2)
+    xy = kpts[..., :2] * 2.0 * strides[:, None, None] + base[:, None, :]
+    vis = jax.nn.sigmoid(kpts[..., 2:3])
+    return jnp.concatenate([xy, vis], axis=-1)
+
+
+def decode_predictions(outs, img_size: int, reg_max: int = 16, task: str | None = None):
     """Head outputs -> flat per-anchor ``(boxes_xyxy, scores, extras)``.
 
     boxes in pixels; scores are per-class sigmoid probabilities ``(B, A, C)``.
-    For OBB heads, extras is the rotation angle per anchor ``(B, A)``; else None.
+    ``extras`` by head: OBB -> rotation angle ``(B, A)``; segment -> mask
+    coefficients ``(B, A, P)``; pose (``task="pose"``) -> decoded keypoints
+    ``(B, A, K, 3)`` ``[x_px, y_px, vis]``; plain detect -> None.  ``task``
+    may be omitted for OBB/segment (disambiguated by channel count).
     """
     anchors, strides = make_anchors(img_size)
     boxes, scores, extras_l = [], [], []
@@ -549,7 +600,9 @@ def decode_predictions(outs, img_size: int, reg_max: int = 16):
         scores.append(jax.nn.sigmoid(cls_l.reshape(b, n, -1).astype(jnp.float32)))
         if len(out) == 3:
             extra = out[2]
-            if extra.shape[-1] == 1:  # OBB: rotation angle in (-pi/4, 3pi/4)
+            if task == "pose":  # keypoints (B, A, K, 3)
+                extras_l.append(decode_keypoints(extra.reshape(b, n, -1), anc, stri))
+            elif extra.shape[-1] == 1:  # OBB: rotation angle in (-pi/4, 3pi/4)
                 extras_l.append(
                     (jax.nn.sigmoid(extra.reshape(b, n).astype(jnp.float32)) - 0.25) * math.pi
                 )
