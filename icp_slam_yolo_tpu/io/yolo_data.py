@@ -174,18 +174,24 @@ def map_polygon(poly_norm: np.ndarray, w0: int, h0: int, size: int) -> np.ndarra
     return (pts * scale + np.array([px, py])).astype(np.float32)
 
 
-def load_example(img_path: str, lbl_path: str, img_size: int):
+def load_example(img_path: str, lbl_path: str, img_size: int, task: str = "detect"):
     """Decode + letterbox one example; boxes to xyxy pixels at img_size.
 
     Returns ``(image, classes, boxes, (scale, pad_x, pad_y, w0, h0))`` — the
     transform unmaps model-space boxes back to original pixels and remaps
-    polygon labels (`map_polygon`).
+    polygon labels (`map_polygon`).  ``task="pose"`` rows carry keypoint
+    triplets after the bbox and MUST go through `parse_pose_label`
+    (`parse_label_file`'s polygon fallback would misread the
+    ``x y vis`` triplets as coordinate pairs and produce garbage boxes).
     """
     img = Image.open(img_path).convert("RGB")
     w0, h0 = img.size
     scale, px, py = letterbox_transform(w0, h0, img_size)
     arr = letterbox_image(img, img_size)
-    classes, cxcywh = parse_label_file(lbl_path)
+    if task == "pose":
+        classes, cxcywh, _ = parse_pose_label(lbl_path)
+    else:
+        classes, cxcywh = parse_label_file(lbl_path)
     if len(cxcywh):
         cx, cy, bw, bh = (cxcywh[:, 0], cxcywh[:, 1], cxcywh[:, 2], cxcywh[:, 3])
         boxes = np.stack(
@@ -229,7 +235,7 @@ class DeviceYoloDataset:
         masks = np.zeros((n, m, sp, sp), np.float32) if task == "segment" else None
         kpts = np.zeros((n, m, n_kpt, 3), np.float32) if task == "pose" else None
         for i, (ip, lp) in enumerate(pairs):
-            img, cls, bxs, (scale, px, py, w0, h0) = load_example(ip, lp, s)
+            img, cls, bxs, (scale, px, py, w0, h0) = load_example(ip, lp, s, task)
             images[i] = img
             k = min(len(cls), m)
             boxes[i, :k] = bxs[:k]
@@ -358,7 +364,7 @@ class YoloDataset:
         valid = np.zeros((b, m), bool)
         angles = np.zeros((b, m), np.float32) if self.task == "obb" else None
         for i, (ip, lp) in enumerate(pairs):
-            img, cls, bxs, (_, _, _, w0, h0) = load_example(ip, lp, s)
+            img, cls, bxs, (_, _, _, w0, h0) = load_example(ip, lp, s, self.task)
             if angles is not None:
                 _, polys = parse_polygons(lp)
                 for j, poly in enumerate(polys[:m]):

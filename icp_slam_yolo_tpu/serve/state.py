@@ -209,9 +209,15 @@ class ServerState:
             out2 = detector(f2)
             if not len(out1["boxes"]) or not len(out2["boxes"]):
                 return
-            b1, b2 = out1["boxes"][0], out2["boxes"][0]
-            c1 = _np.array([[b1[0], b1[1]], [b1[2], b1[1]], [b1[2], b1[3]], [b1[0], b1[3]]])
-            c2 = _np.array([[b2[0], b2[1]], [b2[2], b2[1]], [b2[2], b2[3]], [b2[0], b2[3]]])
+            if "keypoints" in out1 and "keypoints" in out2:
+                # pose detector: true ordered tl/tr/br/bl pallet corners —
+                # better stereo geometry than axis-aligned box corners
+                c1 = _np.asarray(out1["keypoints"][0][:, :2], _np.float64)
+                c2 = _np.asarray(out2["keypoints"][0][:, :2], _np.float64)
+            else:
+                b1, b2 = out1["boxes"][0], out2["boxes"][0]
+                c1 = _np.array([[b1[0], b1[1]], [b1[2], b1[1]], [b1[2], b1[3]], [b1[0], b1[3]]])
+                c2 = _np.array([[b2[0], b2[1]], [b2[2], b2[1]], [b2[2], b2[3]], [b2[0], b2[3]]])
             from icp_slam_yolo_tpu.perception.stereo import pallet_alignment
 
             align = pallet_alignment(c1, c2)

@@ -39,6 +39,27 @@ class FakeStereoDetector:
         }
 
 
+class FakePoseStereoDetector(FakeStereoDetector):
+    """Pose-task detector: the BOXES carry a deliberately wrong (zero)
+    disparity while the ordered tl/tr/br/bl KEYPOINTS carry the true 1 m
+    disparity — the distance assertion only holds if `attach_camera` prefers
+    the keypoint corners over box corners."""
+
+    def __call__(self, img):
+        disp = F * B / 1000.0
+        x0 = 300.0 - (disp if self.shift else 0.0)
+        self.shift = 1 - self.shift
+        kp = np.array(
+            [[x0, 200.0, 1.0], [x0 + 60, 200.0, 1.0], [x0 + 60, 260.0, 1.0], [x0, 260.0, 1.0]]
+        )
+        return {
+            "boxes": np.array([[300.0, 200.0, 360.0, 260.0]]),  # zero disparity
+            "scores": np.array([0.9]),
+            "classes": np.array([0]),
+            "keypoints": kp[None],
+        }
+
+
 @pytest.fixture()
 def stereo(tmp_path):
     from PIL import Image
@@ -73,6 +94,24 @@ def test_fused_loop(stereo, scan_sequence):
 
     marks = state.landmark_markers()
     assert len(marks) == 1 and marks[0]["n_obs"] >= 1
+
+
+def test_fused_loop_pose_keypoints(stereo, scan_sequence):
+    """A pose-task detector's ordered corner keypoints drive the stereo math
+    (the boxes in this fake carry zero disparity, so 1 m can only come from
+    the keypoint path)."""
+    state = ServerState(CFG, work_dir=".")
+    state.feed_scan(scan_sequence[0])
+    state.attach_camera(FakePoseStereoDetector(), stereo, poll_s=0.02)
+
+    state.camera_trigger = True
+    deadline = time.time() + 5
+    while state.last_camera_data is None and time.time() < deadline:
+        time.sleep(0.05)
+    state.stopped.set()
+
+    assert state.last_camera_data is not None, "camera worker never produced data"
+    assert abs(state.last_camera_data["distance_mm"] - 1000.0) < 50
 
 
 def test_fused_loop_real_checkpoint_real_images(scan_sequence):
