@@ -74,10 +74,14 @@ def parse_pose_label(path: str):
     the reference labeler's pose format, `labels_segmentation.py:107-112`)
     -> ``(classes (M,), cxcywh (M, 4), kpts (M, K, 3))``.
 
-    The checked-in labels order the corners consistently (top-left,
-    top-right, bottom-right, bottom-left — verified over `output_pose/`),
-    matching the tl/tr/br/bl naming `obb2.py:7-104` reconstructs by sorting;
-    visibility is stored binarised (label flag ``2`` = visible -> 1.0).
+    Corner rows are canonicalised to [tl, tr, br, bl] with the reference's
+    own sorting rule (`obb2.py:11-19`: order by y, then each pair by x) —
+    735 of the 799 checked-in labels already use that order, but the
+    ``anh_2_340+`` range stores the same corners counter-clockwise, which
+    would poison keypoint-identity training (the corners carry no intrinsic
+    identity: the labeler writes uniform visibility ``[2,2,2,2]``,
+    `labels_segmentation.py:34`).  Visibility is binarised (flag 2 -> 1.0)
+    and travels with its corner through the reorder.
     """
     classes, boxes, kpts = [], [], []
     if os.path.exists(path):
@@ -90,6 +94,11 @@ def parse_pose_label(path: str):
                 boxes.append([float(v) for v in vals[1:5]])
                 k = np.array([float(v) for v in vals[5:]]).reshape(-1, 3)
                 k[:, 2] = (k[:, 2] > 0).astype(np.float64)
+                if k.shape[0] == 4:
+                    order = np.argsort(k[:, 1], kind="stable")
+                    top = order[:2][np.argsort(k[order[:2], 0], kind="stable")]
+                    bot = order[2:][np.argsort(k[order[2:], 0], kind="stable")]
+                    k = k[[top[0], top[1], bot[1], bot[0]]]  # tl, tr, br, bl
                 kpts.append(k)
     n_kpt = kpts[0].shape[0] if kpts else 4
     return (

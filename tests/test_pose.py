@@ -30,6 +30,18 @@ def test_parse_pose_label(tmp_path):
     assert kpts[0, 3, 2] == 0.0  # vis flag 0 stays invisible
 
 
+def test_parse_pose_label_canonicalizes_ccw(tmp_path):
+    """64 of the reference's 799 labels (the anh_2_340+ range) store the same
+    corners counter-clockwise; parsing must reorder them to tl/tr/br/bl."""
+    p = tmp_path / "ccw.txt"
+    # tl, bl, br, tr (counter-clockwise) with a marker visibility on tl
+    p.write_text("0 0.5 0.4 0.2 0.1 0.41 0.36 2 0.41 0.44 2 0.59 0.44 2 0.59 0.36 0\n")
+    _, _, kpts = parse_pose_label(str(p))
+    np.testing.assert_allclose(kpts[0, :, :2],
+                               [[0.41, 0.36], [0.59, 0.36], [0.59, 0.44], [0.41, 0.44]])
+    assert kpts[0, 1, 2] == 0.0  # the tr visibility flag travelled with its corner
+
+
 def test_parse_pose_label_reference_artifact():
     path = "/root/reference/output_pose/anh_1_0.txt"
     if not os.path.exists(path):
