@@ -236,6 +236,16 @@ REALTIME_CONFIG = SlamConfig(
     # margin (1.92 m) covers 10 steps of travel at ~190 mm/step
     occupancy=OccupancyConfig(prune_window_margin_px=64),
     motion_model=True,
+    # Self-healing safety net: Scan_data_1 scans ~1150-1290 see 5.2 m median
+    # range (2x the rest of the run), which doubles per-point tangential noise
+    # and runs the segment at median 32 / max 48 mm against the 50 mm gate.
+    # A reject cascade there (realtime keeps the pose, so consecutive rejects
+    # compound while the robot moves) is one rounding realization away — an
+    # insert-path refactor measurably re-rolled 99.7% -> 88.3% acceptance
+    # (docs/PERF.md "negative results").  Reseed bounds that tail: it never
+    # fires on the healthy realization (6 rejects total, quality identical at
+    # 99.67% / 17.5 mm) and caps any cascade at 10 scans.
+    reseed_after_rejects=10,
     local_map_radius_mm=9000.0,
     dynamic_distance_mm=300.0,
     map_downsample_voxel_mm=25.0,   # `Config.py:10` ICP_VOXEL_SIZE
@@ -285,6 +295,9 @@ FLEET_CONFIG = REALTIME_CONFIG.replace(
     occupancy=OccupancyConfig(
         skip_dead_rays=False, backend="fused", prune_window_margin_px=64
     ),
+    # reseed's lax.cond lowers to select under vmap: every lane would pay the
+    # full map + occupancy rebuild every step.  Fleets keep recovery OFF.
+    reseed_after_rejects=0,
 )
 
 # Per-script realtime variants (the reference tunes constants per file,
