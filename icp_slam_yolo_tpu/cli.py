@@ -64,18 +64,12 @@ def cmd_serve(args):
         # the fused perception loop: trigger-gated stereo detect -> pallet
         # alignment on the SSE stream -> landmark fusion
         from icp_slam_yolo_tpu.acquisition.camera import ReplayCamera, StereoCapture
-        from icp_slam_yolo_tpu.io.checkpoint import load_checkpoint
-        from icp_slam_yolo_tpu.models.detect import Detector
+        from icp_slam_yolo_tpu.models.detect import detector_from_checkpoint
 
-        payload, _, meta = load_checkpoint(args.weights)
         import jax.numpy as jnp
 
-        detector = Detector(
-            num_classes=meta.get("num_classes", 1),
-            img_size=meta.get("img_size", 640),
-            family=meta.get("family", "v8"),
-            conf_threshold=0.5,
-            params=payload,
+        detector = detector_from_checkpoint(
+            args.weights, conf_threshold=0.5,
             compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         )
         stereo = StereoCapture(
@@ -131,25 +125,32 @@ def cmd_detect(args):
 
     from icp_slam_yolo_tpu.models.detect import Detector
 
-    params = None
-    if args.weights:
-        from icp_slam_yolo_tpu.io.checkpoint import load_checkpoint
-
-        params, _, meta = load_checkpoint(args.weights)
     import jax.numpy as jnp
 
-    det = Detector(num_classes=args.num_classes, img_size=args.img_size,
-                   family=(meta.get("family", "v8") if args.weights else "v8"),
-                   conf_threshold=args.conf, params=params,
-                   compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16)
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    if args.weights:
+        from icp_slam_yolo_tpu.models.detect import detector_from_checkpoint
+
+        # checkpoint metadata selects the head (detect/obb/segment/pose),
+        # architecture family/variant and native img_size
+        det = detector_from_checkpoint(args.weights, conf_threshold=args.conf,
+                                       compute_dtype=dtype)
+    else:
+        det = Detector(num_classes=args.num_classes, img_size=args.img_size,
+                       conf_threshold=args.conf, compute_dtype=dtype)
     for path in args.images:
         out = det(np.asarray(Image.open(path)))
-        print(json.dumps({
+        row = {
             "image": path,
             "boxes": out["boxes"].tolist(),
             "scores": out["scores"].tolist(),
             "classes": out["classes"].tolist(),
-        }))
+        }
+        if "angles" in out:
+            row["angles"] = out["angles"].tolist()
+        if "keypoints" in out:
+            row["keypoints"] = out["keypoints"].tolist()
+        print(json.dumps(row))
 
 
 def cmd_register(args):

@@ -17,6 +17,34 @@ from icp_slam_yolo_tpu.models.yolo import YOLO, decode_predictions
 from icp_slam_yolo_tpu.ops.nms import Detections, best_class, nms
 
 
+def detector_from_checkpoint(
+    path: str,
+    conf_threshold: float = 0.5,
+    iou_threshold: float = 0.45,
+    compute_dtype=jnp.bfloat16,
+    img_size: int | None = None,
+) -> "Detector":
+    """Build a ``Detector`` from a checkpoint, honouring its metadata
+    (task/family/variant/n_kpt/img_size/num_classes) — loading an OBB, segment
+    or pose checkpoint must instantiate the matching head, not the default
+    detect head."""
+    from icp_slam_yolo_tpu.io.checkpoint import load_checkpoint
+
+    payload, _, meta = load_checkpoint(path)
+    return Detector(
+        num_classes=meta.get("num_classes", 1),
+        variant=meta.get("variant", "n"),
+        task=meta.get("task", "detect"),
+        family=meta.get("family", "v8"),
+        img_size=img_size or meta.get("img_size", 640),
+        n_kpt=meta.get("n_kpt", 4),
+        conf_threshold=conf_threshold,
+        iou_threshold=iou_threshold,
+        params=payload,
+        compute_dtype=compute_dtype,
+    )
+
+
 class Detector:
     """Stateful wrapper owning model params; ``__call__`` runs frame -> Detections."""
 
