@@ -108,6 +108,41 @@ def estimate_3d_pose(image_points: jnp.ndarray, object_dims: tuple, camera_matri
     return r, t, euler
 
 
+def mono_pose_from_corners(
+    corners: jnp.ndarray,
+    camera_matrix: jnp.ndarray,
+    object_dims: tuple = (110.0, 15.0),
+):
+    """Single-camera 3-D pallet pose from ordered corners — the reference's
+    realtime mono loop (`obb2.py:230-323`: OBB predict -> corner heuristics ->
+    `estimate_3d_pose` -> Euler overlay) as one jittable call.
+
+    Args:
+      corners: ``(4, 2)`` pixel corners in [tl, tr, br, bl] order — exactly
+        what the pose task's ``Detector`` returns in ``out["keypoints"]``
+        (visibility column stripped), or `sort_corners` output reordered.
+      camera_matrix: ``(3, 3)`` intrinsics.
+      object_dims: planar object ``(w_mm, h_mm)`` (the reference's 110 x 15
+        pallet face, `obb2.py:107`).
+
+    Returns a dict: rotation ``R``, translation ``t`` (mm, camera frame),
+    ``euler_deg``, ``distance_mm`` (norm of t), ``yaw_deg`` (horizontal angle
+    to the object centre, `mainn.py:215`-style ``atan2(X, Z)``), plus the
+    `analyze_object_pose` position/rotation codes computed from the corners.
+    """
+    c = jnp.asarray(corners, jnp.float32)
+    r, t, euler = estimate_3d_pose(c, object_dims, camera_matrix)
+    distance = jnp.linalg.norm(t)
+    yaw = jnp.rad2deg(jnp.arctan2(t[0], jnp.maximum(t[2], 1e-6)))
+    # analyze_object_pose sorts corners itself; frame width from cx (cx = w/2)
+    obb = analyze_object_pose(c, 2.0 * jnp.asarray(camera_matrix, jnp.float32)[0, 2])
+    return {
+        "R": r, "t": t, "euler_deg": euler,
+        "distance_mm": distance, "yaw_deg": yaw,
+        "position": obb.position, "rotation": obb.rotation, "roll_deg": obb.roll_deg,
+    }
+
+
 def project_points(points_3d: jnp.ndarray, r: jnp.ndarray, t: jnp.ndarray, camera_matrix: jnp.ndarray):
     """Pinhole projection (`obb2.py:128-135` axis-overlay capability)."""
     cam = points_3d @ r.T + t

@@ -99,3 +99,25 @@ def test_planar_pnp_recovers_pose():
     # reprojection closes the loop
     reproj = np.asarray(project_points(jnp.asarray(obj, jnp.float32), r, t, jnp.asarray(K)))
     np.testing.assert_allclose(reproj, img, atol=1.0)
+
+
+def test_mono_pose_from_corners():
+    """The reference's mono realtime flow (`obb2.py:230-323`) as one call:
+    ordered corners of a known-pose pallet face -> distance/yaw/Euler."""
+    from icp_slam_yolo_tpu.perception.obb_pose import mono_pose_from_corners
+
+    w, h = 110.0, 15.0
+    obj = np.array([[0, h, 0], [w, h, 0], [w, 0, 0], [0, 0, 0]], float)
+    yaw = np.radians(15)
+    r_true = np.array(
+        [[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0], [-np.sin(yaw), 0, np.cos(yaw)]]
+    )
+    t_true = np.array([280.0, 5.0, 900.0])
+    img = _project(obj @ r_true.T + t_true)
+    out = mono_pose_from_corners(jnp.asarray(img), jnp.asarray(K), (w, h))
+    assert abs(float(out["distance_mm"]) - np.linalg.norm(t_true)) < 15.0
+    assert abs(float(out["yaw_deg"]) - np.degrees(np.arctan2(t_true[0], t_true[2]))) < 1.5
+    # +280 mm @ 900 mm projects ~119 px right of centre, past the 0.15*width
+    # (96 px) band `obb2.py:30-37` uses for the left/centre/right call
+    assert int(out["position"]) == 1
+    assert np.isfinite(np.asarray(out["euler_deg"])).all()
