@@ -92,6 +92,12 @@ class IcpConfig:
     # expensive rescue only ever runs on the ~1-5% rejected scans.  (Under
     # vmap, cond lowers to select and both branches run: leave off for fleets.)
     huber_delta_mm: float = 0.0     # 0 disables robust weighting
+    anderson: bool = False          # Anderson(1) acceleration of the pose
+    # fixed-point iteration (AA-ICP, arxiv 1709.05479): extrapolate through
+    # the last two plain iterates with the residual-minimising coefficient.
+    # Same fixpoint (the convergence criterion is unchanged), ~2x fewer
+    # iterations on the replay workload.  Default off = reference-faithful
+    # plain iteration.
     backend: str = "auto"           # "auto" | "xla" | "fused" (single Pallas kernel)
     early_exit: bool = True         # stop fused kernel at convergence.  Safe
     # (and fast) under vmap too: `icp_fused_pallas` is custom_vmap-batched

@@ -118,7 +118,7 @@ def _nn_pass(px, py, t8_ref, b, live_ref, col, tile_t, n_tiles, skip_dead):
 def _icp_kernel(
     src_ref, src_valid_ref, t8_ref, live_ref, rb_live_ref, params_ref, out_ref,
     *, tile_t: int, iters: int, thr2: float, tol: float, early_exit: bool,
-    skip_dead: bool,
+    skip_dead: bool, anderson: bool,
 ):
     n_robots, s = src_ref.shape[0], src_ref.shape[1]
     n_tiles = t8_ref.shape[2] // tile_t
@@ -153,7 +153,11 @@ def _icp_kernel(
             return px, py, w, d2, mx, my
 
         def iter_body(_, carry):
-            cth, sth, ptx, pty, prev_err, done, iters_done = carry
+            if anderson:
+                (cth, sth, ptx, pty, prev_err, done, iters_done,
+                 pf0, pf1, pf2, pf3, pg0, pg1, pg2, pg3, have_prev) = carry
+            else:
+                cth, sth, ptx, pty, prev_err, done, iters_done = carry
 
             # all eight moment sums per block in ONE MXU reduction, accumulated
             # across live blocks (dead blocks would contribute zero weight).
@@ -218,11 +222,55 @@ def _icp_kernel(
             err = m[7] / jnp.maximum(sw, 1.0)  # mean inlier distance (mm)
             converged = jnp.abs(prev_err - err) < tol
             new_done = jnp.logical_or(done, converged)
+
+            if anderson:
+                # Anderson(1) extrapolation on the pose fixed point (AA-ICP,
+                # arxiv 1709.05479; see core/registration for the math): f_k
+                # is this iteration's delta in (mm, mm, L*cos, L*sin) with
+                # L = 1000 balancing rotation vs translation; gamma only
+                # extrapolates (<= 0) and resets when the residual grew (an
+                # NN-reassignment kink).  Pure scalar SREG math — per-robot
+                # branches and early-exit semantics are untouched.
+                L = jnp.float32(1000.0)
+                f0 = ntx - ptx
+                f1 = nty - pty
+                f2 = L * (nc - cth)
+                f3 = L * (ns - sth)
+                d0, d1, d2_, d3 = f0 - pf0, f1 - pf1, f2 - pf2, f3 - pf3
+                den = d0 * d0 + d1 * d1 + d2_ * d2_ + d3 * d3
+                num = f0 * d0 + f1 * d1 + f2 * d2_ + f3 * d3
+                gamma = jnp.where(den > 1e-12, num / jnp.maximum(den, 1e-12), 0.0)
+                gamma = jnp.clip(gamma, -9.0, 0.0)
+                fn = f0 * f0 + f1 * f1 + f2 * f2 + f3 * f3
+                pfn = pf0 * pf0 + pf1 * pf1 + pf2 * pf2 + pf3 * pf3
+                gamma = jnp.where(jnp.logical_and(have_prev, fn <= pfn), gamma, 0.0)
+                ax = ntx - gamma * (ntx - pg0)
+                ay = nty - gamma * (nty - pg1)
+                ac = nc - gamma * (nc - pg2)
+                as_ = ns - gamma * (ns - pg3)
+                arn = jax.lax.rsqrt(jnp.maximum(ac * ac + as_ * as_, 1e-12))
+                ac = ac * arn
+                as_ = as_ * arn
+                # history: f_k and the PLAIN iterate g_k (not the accelerated one)
+                pf0 = jnp.where(done, pf0, f0)
+                pf1 = jnp.where(done, pf1, f1)
+                pf2 = jnp.where(done, pf2, f2)
+                pf3 = jnp.where(done, pf3, f3)
+                pg0 = jnp.where(done, pg0, ntx)
+                pg1 = jnp.where(done, pg1, nty)
+                pg2 = jnp.where(done, pg2, nc)
+                pg3 = jnp.where(done, pg3, ns)
+                have_prev = jnp.logical_or(have_prev, jnp.logical_not(done))
+                ntx, nty, nc, ns = ax, ay, ac, as_
+
             cth = jnp.where(done, cth, nc)
             sth = jnp.where(done, sth, ns)
             ptx = jnp.where(done, ptx, ntx)
             pty = jnp.where(done, pty, nty)
             iters_done = iters_done + jnp.where(done, 0.0, 1.0)
+            if anderson:
+                return (cth, sth, ptx, pty, err, new_done, iters_done,
+                        pf0, pf1, pf2, pf3, pg0, pg1, pg2, pg3, have_prev)
             return cth, sth, ptx, pty, err, new_done, iters_done
 
         # params rows are [x_mm, y_mm, cos(theta), sin(theta)] per robot; the
@@ -236,6 +284,14 @@ def _icp_kernel(
             jnp.bool_(False),
             jnp.float32(0.0),
         )
+        if anderson:
+            zero = jnp.float32(0.0)
+            init = init + (
+                zero, zero, zero, zero,                       # prev f
+                params_ref[b, 0], params_ref[b, 1],           # prev g = init pose
+                params_ref[b, 2], params_ref[b, 3],
+                jnp.bool_(False),                             # have_prev
+            )
 
         if early_exit:
             # a real while_loop skips remaining iterations after convergence
@@ -248,11 +304,10 @@ def _icp_kernel(
                 i, carry = state
                 return i + 1, iter_body(i, carry)
 
-            _, (cth, sth, ptx, pty, _, _, n_iters) = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), init)
-            )
+            _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
         else:
-            cth, sth, ptx, pty, _, _, n_iters = jax.lax.fori_loop(0, iters, iter_body, init)
+            final = jax.lax.fori_loop(0, iters, iter_body, init)
+        cth, sth, ptx, pty, n_iters = final[0], final[1], final[2], final[3], final[6]
 
         # final inlier RMSE at the converged pose (Open3D definition)
         tot = jnp.zeros((1, 2), jnp.float32)  # [n_inliers, sum w*d2]
@@ -305,6 +360,7 @@ def _icp_kernel(
 def _fused_batched(
     src_xy, src_valid, tgt_xy, tgt_valid, init_pose,
     *, iters, threshold_mm, tolerance, early_exit, interpret, tile_t,
+    anderson=False,
 ):
     """Batched core: ``(B, S, 2)/(B, S)/(B, T, 2)/(B, T)/(B, 3)`` ->
     ``(pose (B, 3), rmse (B,), n_inliers (B,), n_iters (B,))``."""
@@ -323,7 +379,7 @@ def _fused_batched(
         thr2=float(threshold_mm) ** 2, tol=float(tolerance), early_exit=early_exit,
         # liveness skipping rides the early_exit flag: both are per-robot
         # scalar-branch optimisations that pay in every regime
-        skip_dead=early_exit,
+        skip_dead=early_exit, anderson=anderson,
     )
     init_pose = init_pose.astype(jnp.float32)
 
@@ -393,7 +449,7 @@ def _fused_batched(
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_call(iters, threshold_mm, tolerance, early_exit, interpret, tile_t):
+def _fused_call(iters, threshold_mm, tolerance, early_exit, interpret, tile_t, anderson):
     """`custom_vmap`-wrapped single-registration call for one static config.
 
     The unbatched call runs the kernel at B=1; `vmap` substitutes the batched
@@ -403,6 +459,7 @@ def _fused_call(iters, threshold_mm, tolerance, early_exit, interpret, tile_t):
     static = dict(
         iters=iters, threshold_mm=threshold_mm, tolerance=tolerance,
         early_exit=early_exit, interpret=interpret, tile_t=tile_t,
+        anderson=anderson,
     )
 
     @jax.custom_batching.custom_vmap
@@ -428,6 +485,7 @@ def icp_fused_pallas(
     src_xy, src_valid, tgt_xy, tgt_valid, init_pose,
     iters: int = 50, threshold_mm: float = 200.0, tolerance: float = 1e-5,
     early_exit: bool = True, interpret: bool = False, tile_t: int | None = None,
+    anderson: bool = False,
 ):
     """Run the whole gated point-to-point ICP in one kernel.
 
@@ -437,6 +495,6 @@ def icp_fused_pallas(
     """
     call = _fused_call(
         int(iters), float(threshold_mm), float(tolerance), bool(early_exit),
-        bool(interpret), tile_t,
+        bool(interpret), tile_t, bool(anderson),
     )
     return call(src_xy, src_valid, tgt_xy, tgt_valid, init_pose.astype(jnp.float32))

@@ -168,3 +168,28 @@ def test_point_to_plane_estimator(rng):
     res = icp(src, tgt, cfg=cfg)
     assert abs(float(res.pose[2]) - theta) < 5e-3
     np.testing.assert_allclose(np.asarray(res.pose[:2]), t, atol=10.0)
+
+
+def test_anderson_same_fixpoint_fewer_iterations(scan_pair):
+    """Anderson(1) acceleration (AA-ICP, arxiv 1709.05479) must converge to
+    the same registration in strictly fewer iterations on the reference's
+    golden pair — both the XLA path and the fused kernel (interpret here)."""
+    a, b = scan_pair
+    src = oracle.voxel_downsample(oracle.polar_gate(b, OFFLINE_GATE), 20.0)
+    tgt = oracle.polar_gate(a, OFFLINE_GATE)
+    for backend in ("xla", "fused"):
+        base = icp(src, tgt, cfg=IcpConfig(backend=backend, max_iterations=100))
+        fast = icp(src, tgt, cfg=IcpConfig(backend=backend, max_iterations=100, anderson=True))
+        assert int(fast.n_iters) < int(base.n_iters), (backend, int(fast.n_iters), int(base.n_iters))
+        np.testing.assert_allclose(np.asarray(fast.pose), np.asarray(base.pose), atol=0.05)
+        assert abs(float(fast.rmse) - float(base.rmse)) < 0.1
+
+
+def test_anderson_known_transform(rng):
+    theta = np.radians(10.0)
+    t = np.array([150.0, 80.0])
+    tgt = rng.normal(size=(300, 2)) * 3000.0
+    src = (tgt - t) @ _rot(theta)
+    res = icp(src, tgt, cfg=IcpConfig(threshold_mm=500.0, max_iterations=50, anderson=True))
+    assert abs(float(res.pose[2]) - theta) < 2e-3
+    np.testing.assert_allclose(np.asarray(res.pose[:2]), t, atol=10.0)
