@@ -132,11 +132,12 @@ def cmd_detect(args):
         from icp_slam_yolo_tpu.models.detect import detector_from_checkpoint
 
         # checkpoint metadata selects the head (detect/obb/segment/pose),
-        # architecture family/variant and native img_size
+        # architecture family/variant and native img_size; an explicit
+        # --img-size overrides the native resolution
         det = detector_from_checkpoint(args.weights, conf_threshold=args.conf,
-                                       compute_dtype=dtype)
+                                       compute_dtype=dtype, img_size=args.img_size)
     else:
-        det = Detector(num_classes=args.num_classes, img_size=args.img_size,
+        det = Detector(num_classes=args.num_classes, img_size=args.img_size or 640,
                        conf_threshold=args.conf, compute_dtype=dtype)
     for path in args.images:
         out = det(np.asarray(Image.open(path)))
@@ -308,7 +309,8 @@ def main(argv=None):
     d = sub.add_parser("detect", help="run detection on images")
     d.add_argument("images", nargs="+")
     d.add_argument("--weights", default=None)
-    d.add_argument("--img-size", type=int, default=640)
+    d.add_argument("--img-size", type=int, default=None,
+                   help="inference resolution (default: the checkpoint's native size, else 640)")
     d.add_argument("--num-classes", type=int, default=1)
     d.add_argument("--conf", type=float, default=0.5)
     d.add_argument("--f32", action="store_true", help="float32 detector compute (default bfloat16)")

@@ -183,7 +183,8 @@ def map_polygon(poly_norm: np.ndarray, w0: int, h0: int, size: int) -> np.ndarra
     return (pts * scale + np.array([px, py])).astype(np.float32)
 
 
-def load_example(img_path: str, lbl_path: str, img_size: int, task: str = "detect"):
+def load_example(img_path: str, lbl_path: str, img_size: int, task: str = "detect",
+                 return_kpts: bool = False):
     """Decode + letterbox one example; boxes to xyxy pixels at img_size.
 
     Returns ``(image, classes, boxes, (scale, pad_x, pad_y, w0, h0))`` — the
@@ -197,8 +198,9 @@ def load_example(img_path: str, lbl_path: str, img_size: int, task: str = "detec
     w0, h0 = img.size
     scale, px, py = letterbox_transform(w0, h0, img_size)
     arr = letterbox_image(img, img_size)
+    kp = None
     if task == "pose":
-        classes, cxcywh, _ = parse_pose_label(lbl_path)
+        classes, cxcywh, kp = parse_pose_label(lbl_path)
     else:
         classes, cxcywh = parse_label_file(lbl_path)
     if len(cxcywh):
@@ -209,6 +211,8 @@ def load_example(img_path: str, lbl_path: str, img_size: int, task: str = "detec
         ).astype(np.float32)
     else:
         boxes = np.zeros((0, 4), np.float32)
+    if return_kpts:
+        return arr, classes, boxes, kp, (scale, px, py, w0, h0)
     return arr, classes, boxes, (scale, px, py, w0, h0)
 
 
@@ -244,7 +248,7 @@ class DeviceYoloDataset:
         masks = np.zeros((n, m, sp, sp), np.float32) if task == "segment" else None
         kpts = np.zeros((n, m, n_kpt, 3), np.float32) if task == "pose" else None
         for i, (ip, lp) in enumerate(pairs):
-            img, cls, bxs, (scale, px, py, w0, h0) = load_example(ip, lp, s, task)
+            img, cls, bxs, kp, (scale, px, py, w0, h0) = load_example(ip, lp, s, task, return_kpts=True)
             images[i] = img
             k = min(len(cls), m)
             boxes[i, :k] = bxs[:k]
@@ -260,7 +264,6 @@ class DeviceYoloDataset:
                 for j, poly in enumerate(polys[:m]):
                     masks[i, j] = rasterize_polygon(map_polygon(poly, w0, h0, s) * (sp / s), sp)
             elif task == "pose":
-                _, _, kp = parse_pose_label(lp)
                 for j, kj in enumerate(kp[:m]):
                     kpts[i, j, :, 0] = kj[:, 0] * w0 * scale + px
                     kpts[i, j, :, 1] = kj[:, 1] * h0 * scale + py
@@ -372,12 +375,20 @@ class YoloDataset:
         classes = np.zeros((b, m), np.int32)
         valid = np.zeros((b, m), bool)
         angles = np.zeros((b, m), np.float32) if self.task == "obb" else None
+        kpts = np.zeros((b, m, 4, 3), np.float32) if self.task == "pose" else None
         for i, (ip, lp) in enumerate(pairs):
-            img, cls, bxs, (_, _, _, w0, h0) = load_example(ip, lp, s, self.task)
+            img, cls, bxs, kp, (scale, px, py, w0, h0) = load_example(
+                ip, lp, s, self.task, return_kpts=True
+            )
             if angles is not None:
                 _, polys = parse_polygons(lp)
                 for j, poly in enumerate(polys[:m]):
                     angles[i, j] = polygon_angle(map_polygon(poly, w0, h0, s))
+            if kpts is not None and kp is not None:
+                for j, kj in enumerate(kp[:m]):
+                    kpts[i, j, :, 0] = kj[:, 0] * w0 * scale + px
+                    kpts[i, j, :, 1] = kj[:, 1] * h0 * scale + py
+                    kpts[i, j, :, 2] = kj[:, 2]
             if self.augment and self.rng.random() < 0.5:
                 img = img[:, ::-1]
                 if len(bxs):
@@ -388,6 +399,10 @@ class YoloDataset:
                     # mirrored orientation, wrapped to (-pi/4, 3pi/4)
                     fa = -angles[i]
                     angles[i] = np.where(fa <= -0.25 * np.pi, fa + np.pi, fa)
+                if kpts is not None:
+                    fk = kpts[i].copy()
+                    fk[..., 0] = s - fk[..., 0]
+                    kpts[i] = fk[:, KPT_FLIP_PERM]
             images[i] = img
             k = min(len(cls), m)
             boxes[i, :k] = bxs[:k]
@@ -396,4 +411,6 @@ class YoloDataset:
         batch = {"images": images, "boxes": boxes, "classes": classes, "valid": valid}
         if angles is not None:
             batch["angles"] = angles
+        if kpts is not None:
+            batch["kpts"] = kpts
         return batch

@@ -26,6 +26,11 @@ With one robot per device (the intended layout) the per-robot compute is
 scalar inside `shard_map`, so data-dependent branches (ICP early-exit, the
 GICP rescue, maintenance cadence) stay REAL branches — the property the
 vmapped fleet loses.
+
+``reseed_after_rejects`` is intentionally ignored here: the reseed recovery
+rebuilds the map from one robot's current scan, which would discard the
+whole FLEET's shared map because one robot lost tracking.  Per-robot
+recovery in a shared-map world is a relocalisation problem, out of scope.
 """
 
 from __future__ import annotations
@@ -51,9 +56,12 @@ _P_EPS = 1e-6  # occupancy probabilities clipped into [eps, 1] before log
 
 
 class SharedOutputs(NamedTuple):
-    pose: jnp.ndarray      # (R, T, 3)
-    rmse: jnp.ndarray      # (R, T)
-    accepted: jnp.ndarray  # (R, T)
+    # per-robot, per-PROCESSED-scan: scan 0 of each stream seeds the shared
+    # map, so replaying (R, T, ...) scans yields (R, T-1, ...) outputs — row t
+    # is the result of scan t+1
+    pose: jnp.ndarray      # (R, T-1, 3)
+    rmse: jnp.ndarray      # (R, T-1)
+    accepted: jnp.ndarray  # (R, T-1)
 
 
 def _merge_occupancy(base: jnp.ndarray, per_robot: jnp.ndarray, axis: str) -> jnp.ndarray:
@@ -91,6 +99,23 @@ def _robot_step(map_xy, map_valid, occ, pose, prev_pose, prev_xy, prev_valid, sc
     init_pose = geo.se2_extrapolate(pose, prev_pose) if cfg.motion_model else pose
     res = icp_masked(ds_xy, ds_valid, map_xy, tgt_valid, init_pose, cfg.icp)
     accepted = enough & (res.rmse <= cfg.icp.max_rmse)
+
+    if cfg.icp.rescue_estimator:
+        # second-chance registration on reject, same as the sequential engine
+        # (`slam/pipeline.make_step`); per-robot code is scalar inside
+        # shard_map, so the cond stays a real taken-branch
+        import dataclasses as _dc
+
+        rescue_cfg = _dc.replace(
+            cfg.icp, estimator=cfg.icp.rescue_estimator, rescue_estimator="", backend="xla"
+        )
+        res = jax.lax.cond(
+            accepted,
+            lambda _: res,
+            lambda _: icp_masked(ds_xy, ds_valid, map_xy, tgt_valid, init_pose, rescue_cfg),
+            None,
+        )
+        accepted = enough & (res.rmse <= cfg.icp.max_rmse)
 
     new_pose = jnp.where(accepted, res.pose, pose)
     new_global = geo.se2_apply(res.pose, xy)

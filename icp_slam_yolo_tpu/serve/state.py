@@ -209,7 +209,14 @@ class ServerState:
             out2 = detector(f2)
             if not len(out1["boxes"]) or not len(out2["boxes"]):
                 return
-            if "keypoints" in out1 and "keypoints" in out2:
+            kpts_ok = (
+                "keypoints" in out1 and "keypoints" in out2
+                # an occluded corner (low visibility score) has unreliable xy:
+                # fall back to box corners unless all four are confident
+                and float(_np.min(out1["keypoints"][0][:, 2])) >= 0.5
+                and float(_np.min(out2["keypoints"][0][:, 2])) >= 0.5
+            )
+            if kpts_ok:
                 # pose detector: true ordered tl/tr/br/bl pallet corners —
                 # better stereo geometry than axis-aligned box corners
                 c1 = _np.asarray(out1["keypoints"][0][:, :2], _np.float64)
