@@ -229,7 +229,17 @@ class DeviceYoloDataset:
 
     def __init__(self, root: str, img_size: int = 640, batch_size: int = 16, max_gt: int = 32,
                  seed: int = 0, augment: bool = False, task: str = "detect",
-                 label_root: str | None = None, pairs: list | None = None, n_kpt: int = 4):
+                 label_root: str | None = None, pairs: list | None = None, n_kpt: int = 4,
+                 scale_aug: tuple = ()):
+        """``scale_aug``: discrete zoom-out factors (e.g. ``(0.5, 0.67, 0.83,
+        1.0)``) sampled per example — the device-friendly analog of the
+        reference recipe's ``scale: 0.5`` jitter (`train2/args.yaml:61`).
+        Images are resized by the factor and pasted centred on the letterbox
+        gray; labels transform by ``v' = v*f + s*(1-f)/2``.  Discrete factors
+        keep every branch static-shaped; per-sample selection is one gather
+        over the stacked variants.  Without it, the from-scratch detector
+        does NOT generalise across inference scales (640 px: 0.97 confidence
+        -> 512 px: 0.07 on the same frame)."""
         import jax
         import jax.numpy as jnp
 
@@ -287,8 +297,11 @@ class DeviceYoloDataset:
         if task == "pose":
             self._d["kpts"] = jax.device_put(kpts)
 
+        scale_aug = tuple(scale_aug)
+        self.scale_aug = scale_aug
+
         @jax.jit
-        def gather(data, idx, flips):
+        def gather(data, idx, flips, scale_idx):
             imgs = data["images"][idx]
             bxs = data["boxes"][idx]
             if augment:
@@ -327,6 +340,49 @@ class DeviceYoloDataset:
                     fk = kp.at[..., 0].set(s - kp[..., 0])[:, :, KPT_FLIP_PERM]
                     kp = jnp.where(flips[:, None, None, None], fk, kp)
                 out["kpts"] = kp
+
+            if scale_aug:
+                # centred zoom-out: one static-shaped branch per factor,
+                # per-sample pick by gathering over the stacked variants
+                variants = []
+                for f in scale_aug:
+                    if f == 1.0:
+                        variants.append(out["images"])
+                        continue
+                    nf = int(round(s * f))
+                    r = jax.image.resize(
+                        out["images"], (out["images"].shape[0], nf, nf, 3), "bilinear"
+                    )
+                    canvas = jnp.full_like(out["images"], LETTERBOX_FILL)
+                    pad0 = (s - nf) // 2
+                    variants.append(
+                        jax.lax.dynamic_update_slice(canvas, r, (0, pad0, pad0, 0))
+                    )
+                stacked = jnp.stack(variants)  # (F, B, s, s, 3)
+                b_idx = jnp.arange(stacked.shape[1])
+                out["images"] = stacked[scale_idx, b_idx]
+                fv = jnp.asarray(scale_aug, jnp.float32)[scale_idx]  # (B,)
+                off = s * (1.0 - fv) / 2.0
+                out["boxes"] = out["boxes"] * fv[:, None, None] + off[:, None, None]
+                if "kpts" in out:
+                    kp = out["kpts"]
+                    xy = kp[..., :2] * fv[:, None, None, None] + off[:, None, None, None]
+                    out["kpts"] = jnp.concatenate([xy, kp[..., 2:]], axis=-1)
+                if "masks" in out:
+                    mk = out["masks"]  # (B, M, sp, sp) at 1/4 model resolution
+                    bm, mm, sp_, _ = mk.shape
+                    mvars = []
+                    for f in scale_aug:
+                        if f == 1.0:
+                            mvars.append(mk)
+                            continue
+                        nf = max(int(round(sp_ * f)), 1)
+                        rm = jax.image.resize(mk, (bm, mm, nf, nf), "nearest")
+                        cv = jnp.zeros_like(mk)
+                        p0 = (sp_ - nf) // 2
+                        mvars.append(jax.lax.dynamic_update_slice(cv, rm, (0, 0, p0, p0)))
+                    out["masks"] = jnp.stack(mvars)[scale_idx, b_idx]
+                # angles are scale-invariant (uniform zoom)
             return out
 
         self._gather = gather
@@ -340,7 +396,10 @@ class DeviceYoloDataset:
         while True:
             idx = self.rng.choice(self.n, self.batch_size, replace=self.n < self.batch_size)
             flips = self.rng.random(self.batch_size) < 0.5 if self.augment else np.zeros(self.batch_size, bool)
-            yield self._gather(self._d, jnp.asarray(idx, jnp.int32), jnp.asarray(flips))
+            sidx = (self.rng.integers(0, len(self.scale_aug), self.batch_size)
+                    if self.scale_aug else np.zeros(self.batch_size, np.int32))
+            yield self._gather(self._d, jnp.asarray(idx, jnp.int32), jnp.asarray(flips),
+                               jnp.asarray(sidx, jnp.int32))
 
 
 class YoloDataset:

@@ -27,6 +27,9 @@ def main():
                          "crossing of --target-map50 (time-to-quality)")
     ap.add_argument("--target-map50", type=float, default=0.99)
     ap.add_argument("--family", default="v8", choices=["v8", "v11", "v12"])
+    ap.add_argument("--no-scale-aug", action="store_true",
+                    help="disable the zoom-out augmentation (the reference recipe "
+                         "trains with scale jitter, `train2/args.yaml` scale: 0.5)")
     ap.add_argument("--out", default="/tmp/pallet_ckpt")
     args = ap.parse_args()
 
@@ -39,8 +42,10 @@ def main():
 
     # device-resident dataset: per-step host->device transfers leak in this
     # environment (a batch-16 640px run OOM-killed the host at ~step 1150)
+    scale_aug = () if args.no_scale_aug else (0.5, 0.67, 0.83, 1.0)
     ds = DeviceYoloDataset(args.data + "/train", img_size=args.img_size,
-                           batch_size=args.batch_size, max_gt=16, augment=True)
+                           batch_size=args.batch_size, max_gt=16, augment=True,
+                           scale_aug=scale_aug)
     print(f"train images: {len(ds)} (device-resident)", flush=True)
     model = YOLO(num_classes=1, family=args.family)
     state, tx = create_train_state(model, args.img_size, total_steps=args.steps)

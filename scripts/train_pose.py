@@ -48,7 +48,8 @@ def main():
     if not args.eval_only:
         ds = DeviceYoloDataset(args.images, img_size=args.img_size,
                                batch_size=args.batch_size, max_gt=4, task="pose",
-                               augment=True, pairs=train_pairs)
+                               augment=True, pairs=train_pairs,
+                               scale_aug=(0.5, 0.67, 0.83, 1.0))
         model = YOLO(num_classes=1, task="pose")
         state, tx = create_train_state(model, args.img_size, total_steps=args.steps)
         step_fn = jax.jit(make_train_step(model, tx, args.img_size))

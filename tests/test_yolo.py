@@ -195,3 +195,35 @@ def test_family_obb_head():
     outs = model.apply(vs, x, train=False)
     boxes, scores, angles = decode_predictions(outs, 64)
     assert angles.shape == (1, 84)
+
+
+def test_device_dataset_scale_aug(tmp_path):
+    """Discrete zoom-out augmentation: image content and labels transform
+    consistently (v' = v*f + s*(1-f)/2), f=1.0 is the identity."""
+    import jax.numpy as jnp
+    from PIL import Image as PILImage
+
+    from icp_slam_yolo_tpu.io.yolo_data import DeviceYoloDataset
+
+    s = 64
+    d = tmp_path / "ds"
+    d.mkdir()
+    arr = np.zeros((s, s, 3), np.uint8)
+    arr[16:32, 16:32] = 255  # white square, bbox (16,16)-(32,32)
+    PILImage.fromarray(arr).save(d / "a.jpg")
+    (d / "a.txt").write_text("0 0.375 0.375 0.25 0.25\n")
+
+    ds = DeviceYoloDataset(str(d), img_size=s, batch_size=2, max_gt=2,
+                           scale_aug=(0.5, 1.0))
+    idx = jnp.zeros(2, jnp.int32)
+    flips = jnp.zeros(2, bool)
+    batch = ds._gather(ds._d, idx, flips, jnp.asarray([0, 1], jnp.int32))
+
+    # sample 1 (f=1.0): identity
+    np.testing.assert_allclose(np.asarray(batch["boxes"][1, 0]), [16, 16, 32, 32], atol=1.5)
+    # sample 0 (f=0.5): box at v*0.5 + 16
+    np.testing.assert_allclose(np.asarray(batch["boxes"][0, 0]), [24, 24, 32, 32], atol=1.5)
+    # image content moved with the box: bright pixels inside the scaled bbox
+    img0 = np.asarray(batch["images"][0])
+    assert img0[26, 26].mean() > 0.5  # inside the zoomed square
+    assert abs(float(img0[5, 5].mean()) - 114 / 255) < 0.02  # letterbox gray outside
