@@ -9,6 +9,7 @@ entry points:
   bench        performance benchmark (prints one JSON line)
   train        YOLO training on a YOLO-layout dataset (`train2/args.yaml` parity)
   detect       run the detector over images
+  eval         evaluate a checkpoint on a val set (Ultralytics `val` parity)
   label-check  validate/fix YOLO label files (`check_labels.py` parity)
   split        shuffled train/val dataset split (`labels_segmentation/chia.py` parity)
 
@@ -152,6 +153,65 @@ def cmd_detect(args):
         if "keypoints" in out:
             row["keypoints"] = out["keypoints"].tolist()
         print(json.dumps(row))
+
+
+def cmd_eval(args):
+    """Evaluate a checkpoint on a val set — the Ultralytics ``val`` surface the
+    reference uses for its `train2/results.csv` / `runs/obb/train/results.csv`
+    metrics.  The task (detect/obb/segment/pose) comes from checkpoint
+    metadata; each task reports its own metric set (AP, angle error, mask IoU,
+    corner error/OKS)."""
+    from icp_slam_yolo_tpu.io.checkpoint import load_checkpoint
+
+    _, _, meta = load_checkpoint(args.weights)
+    task = meta.get("task", "detect")
+    img_size = args.img_size or meta.get("img_size", 640)
+
+    if task == "segment":
+        from icp_slam_yolo_tpu.models.eval import evaluate_segment_checkpoint
+
+        metrics = evaluate_segment_checkpoint(args.weights, args.data, img_size,
+                                              max_images=args.max_images)
+    else:
+        from icp_slam_yolo_tpu.models.detect import detector_from_checkpoint
+
+        # AP needs the full PR sweep, so the detector runs at conf 0.001;
+        # pose eval picks the best detection per frame and wants a real gate
+        conf = 0.25 if task == "pose" else 0.001
+        det = detector_from_checkpoint(args.weights, conf_threshold=conf,
+                                       img_size=args.img_size)
+        if task == "obb":
+            from icp_slam_yolo_tpu.models.eval import evaluate_obb_detector
+
+            metrics = evaluate_obb_detector(det, args.data, max_images=args.max_images)
+        elif task == "pose":
+            from icp_slam_yolo_tpu.io.yolo_data import find_pairs
+            from icp_slam_yolo_tpu.models.eval import evaluate_pose_detector
+
+            pairs = find_pairs(args.data, label_root=args.label_dir)
+            if args.val_split:
+                # the pose set has no train/val directories: reproduce the
+                # 80/20 seed-42 holdout (`chia.py:5-45` convention)
+                import random
+
+                random.Random(42).shuffle(pairs)
+                pairs = pairs[int(len(pairs) * 0.8):]
+            if args.max_images:
+                pairs = pairs[: args.max_images]
+            metrics = evaluate_pose_detector(det, pairs)
+        else:
+            from icp_slam_yolo_tpu.models.eval import evaluate_detector
+
+            metrics = evaluate_detector(det, args.data, img_size,
+                                        max_images=args.max_images)
+
+    metrics = {k: (round(v, 4) if isinstance(v, float) else v) for k, v in metrics.items()}
+    metrics["task"] = task
+    print(json.dumps(metrics, indent=2))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(f"wrote {args.output}")
 
 
 def cmd_register(args):
@@ -315,6 +375,17 @@ def main(argv=None):
     d.add_argument("--conf", type=float, default=0.5)
     d.add_argument("--f32", action="store_true", help="float32 detector compute (default bfloat16)")
     d.set_defaults(fn=cmd_detect)
+
+    ev = sub.add_parser("eval", help="evaluate a checkpoint on a val set")
+    ev.add_argument("--weights", required=True, help="checkpoint .msgpack (task from metadata)")
+    ev.add_argument("--data", required=True, help="YOLO-layout val dir (or image dir for pose)")
+    ev.add_argument("--label-dir", default=None, help="pose: separate label root (output_pose)")
+    ev.add_argument("--img-size", type=int, default=None, help="override checkpoint native size")
+    ev.add_argument("--max-images", type=int, default=None)
+    ev.add_argument("--val-split", action="store_true",
+                    help="pose: evaluate the 20%% seed-42 holdout of --data")
+    ev.add_argument("--output", default=None, help="write metrics JSON here")
+    ev.set_defaults(fn=cmd_eval)
 
     rg = sub.add_parser("register", help="pairwise scan registration demo")
     rg.add_argument("source", help="source scan .npy (registered onto target)")

@@ -134,3 +134,168 @@ def evaluate_detector(detector, dataset_root: str, img_size: int, max_images: in
     finally:
         detector.conf_threshold = old_conf
     return evaluate_detections(preds, gts)
+
+
+def wrap_half_pi(d: np.ndarray) -> np.ndarray:
+    """Wrap angle differences into (-pi/2, pi/2] — a rectangle's orientation
+    is pi-periodic (`scripts/eval_obb.py` convention)."""
+    return np.arctan2(np.sin(2.0 * d), np.cos(2.0 * d)) / 2.0
+
+
+def evaluate_obb_detector(detector, dataset_root: str, max_images: int | None = None):
+    """OBB checkpoint quality: detection AP plus rotation-angle error (degrees)
+    of confident predictions matched to labeled polygons at IoU >= 0.5.
+
+    Mirrors the metrics the reference records for its yolo11n-obb run
+    (`runs/obb/train/results.csv`). ``detector`` must be a ``task="obb"``
+    Detector; AP needs the full PR sweep so build it with a low
+    ``conf_threshold`` (0.001).
+    """
+    from PIL import Image
+
+    from icp_slam_yolo_tpu.io.yolo_data import find_pairs, parse_polygons, polygon_angle
+
+    pairs = find_pairs(dataset_root)
+    if max_images:
+        pairs = pairs[:max_images]
+    preds, gts, angle_errs = [], [], []
+    for ip, lp in pairs:
+        img = np.asarray(Image.open(ip).convert("RGB"))
+        h0, w0 = img.shape[:2]
+        cls, polys = parse_polygons(lp)
+        gt_boxes, gt_angles = [], []
+        for poly in polys:
+            px = poly * np.array([w0, h0])  # pixel space: uniform for angles
+            lo, hi = px.min(0), px.max(0)
+            gt_boxes.append([lo[0], lo[1], hi[0], hi[1]])
+            gt_angles.append(polygon_angle(px))
+        gt_boxes = np.array(gt_boxes, float).reshape(-1, 4)
+        gt_angles = np.array(gt_angles, float)
+        out = detector(img)
+        preds.append(out)
+        gts.append({"boxes": gt_boxes, "classes": cls})
+
+        conf = out["scores"] >= 0.5
+        pboxes = out["boxes"][conf]
+        pangles = np.asarray(out["angles"]).reshape(-1)[conf]
+        if len(pboxes) and len(gt_boxes):
+            iou = _iou_matrix(pboxes, gt_boxes)
+            taken = np.zeros(len(gt_boxes), bool)
+            for i in np.argsort(-out["scores"][conf]):
+                row = np.where(taken, -1.0, iou[i])
+                j = int(np.argmax(row))
+                if row[j] >= 0.5:
+                    taken[j] = True
+                    angle_errs.append(abs(wrap_half_pi(pangles[i] - gt_angles[j])))
+
+    metrics = evaluate_detections(preds, gts)
+    errs = np.degrees(np.array(angle_errs)) if angle_errs else None
+    metrics.update(
+        # None (JSON null) when nothing matched — NaN is not valid JSON
+        angle_error_mean_deg=round(float(errs.mean()), 2) if errs is not None else None,
+        angle_error_p90_deg=round(float(np.percentile(errs, 90)), 2) if errs is not None else None,
+        val_images=len(pairs),
+    )
+    return metrics
+
+
+def evaluate_pose_detector(detector, pairs) -> dict:
+    """Corner-keypoint quality of a pose Detector on (image, label) pairs.
+
+    Reports mean/p90 corner error in ORIGINAL-frame pixels, PCK@0.1 (corner
+    within 10% of the gt bbox diagonal), mean OKS, and detection recall —
+    the quality axes of the reference's own corner pipeline (`obb2.py:7-104`)
+    for its pose labels (`labels_segmentation.py:107-112`).
+    """
+    from PIL import Image
+
+    from icp_slam_yolo_tpu.io.yolo_data import parse_pose_label
+
+    errs, oks_all, hits, n_det, n_img = [], [], 0, 0, 0
+    for ip, lp in pairs:
+        cls, boxes, kpts = parse_pose_label(lp)
+        if not len(cls):
+            continue
+        n_img += 1
+        img = np.asarray(Image.open(ip).convert("RGB"))
+        h0, w0 = img.shape[:2]
+        out = detector(img)
+        if not len(out["boxes"]):
+            continue
+        n_det += 1
+        best = int(np.argmax(out["scores"]))
+        pred = out["keypoints"][best]  # (K, 3) original px
+        gt = kpts[0].copy()
+        gt[:, 0] *= w0
+        gt[:, 1] *= h0
+        vis = gt[:, 2] > 0
+        d = np.linalg.norm(pred[:, :2] - gt[:, :2], axis=1)[vis]
+        bw = boxes[0, 2] * w0
+        bh = boxes[0, 3] * h0
+        diag = float(np.hypot(bw, bh))
+        errs.extend(d.tolist())
+        hits += int(np.sum(d <= 0.1 * diag))
+        area = max(bw * bh, 1.0)
+        sigma = 1.0 / gt.shape[0]
+        oks = np.mean(np.exp(-(d ** 2) / (2 * area * (2 * sigma) ** 2)))
+        oks_all.append(float(oks))
+
+    errs = np.asarray(errs)
+    return {
+        "n_val": n_img,
+        "detection_recall": n_det / max(n_img, 1),
+        "corner_err_mean_px": float(errs.mean()) if len(errs) else None,
+        "corner_err_p90_px": float(np.percentile(errs, 90)) if len(errs) else None,
+        "pck_0.1": hits / max(len(errs), 1),
+        "oks_mean": float(np.mean(oks_all)) if oks_all else None,
+    }
+
+
+def evaluate_segment_checkpoint(ckpt_path: str, dataset_root: str, img_size: int,
+                                max_images: int | None = 60) -> dict:
+    """Mask IoU of a segment checkpoint: the best detection's assembled mask vs
+    the first labeled instance polygon, rasterized at proto resolution
+    (img_size // 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icp_slam_yolo_tpu.io.checkpoint import load_checkpoint
+    from icp_slam_yolo_tpu.io.yolo_data import (
+        find_pairs, load_example, map_polygon, parse_polygons, rasterize_polygon,
+    )
+    from icp_slam_yolo_tpu.models.segment import assemble_masks
+    from icp_slam_yolo_tpu.models.yolo import YOLO, decode_predictions
+
+    payload, batch_stats, meta = load_checkpoint(ckpt_path)
+    model = YOLO(num_classes=meta.get("num_classes", 1), variant=meta.get("variant", "n"),
+                 family=meta.get("family", "v8"), task="segment")
+    # the checkpoint payload IS the variables dict ({"params", "batch_stats"})
+    variables = {"params": payload["params"], "batch_stats": batch_stats or {}}
+    fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
+    sp = img_size // 4
+    ious = []
+    pairs = find_pairs(dataset_root)
+    if max_images:
+        pairs = pairs[:max_images]
+    for ip, lp in pairs:
+        img, cls, boxes, (_, _, _, w0, h0) = load_example(ip, lp, img_size)
+        outs, protos = fwd(jnp.asarray(img[None]))
+        b, s, coefs = decode_predictions(outs, img_size)
+        top = int(np.argmax(np.asarray(s[0, :, 0])))
+        mask = np.asarray(assemble_masks(protos[0], coefs[0, top:top + 1],
+                                         b[0, top:top + 1], img_size))[0]
+        _, polys = parse_polygons(lp)
+        if not polys:
+            continue
+        gt = rasterize_polygon(map_polygon(polys[0], w0, h0, img_size) * (sp / img_size), sp)
+        pred = mask >= 0.5
+        inter = float(np.logical_and(pred, gt > 0).sum())
+        union = float(np.logical_or(pred, gt > 0).sum())
+        if union > 0:
+            ious.append(inter / union)
+    ious = np.array(ious)
+    return {
+        "mask_iou_mean": float(ious.mean()) if len(ious) else None,
+        "mask_iou_p10": float(np.percentile(ious, 10)) if len(ious) else None,
+        "n_val": int(len(ious)),
+    }

@@ -74,60 +74,18 @@ def main():
 
 
 def evaluate_pose_checkpoint(ckpt_path: str, val_pairs, img_size: int) -> dict:
-    """Corner-keypoint quality of a pose checkpoint on (image, label) pairs.
-
-    Reports mean/p90 corner error in ORIGINAL-frame pixels, PCK@0.1 (corner
-    within 10% of the gt bbox diagonal), mean OKS, and detection recall.
-    """
-    from PIL import Image
-
+    """Corner-keypoint quality of a pose checkpoint on (image, label) pairs
+    (see `models/eval.evaluate_pose_detector` for the metric definitions)."""
     from icp_slam_yolo_tpu.io.checkpoint import load_checkpoint
-    from icp_slam_yolo_tpu.io.yolo_data import parse_pose_label
     from icp_slam_yolo_tpu.models.detect import Detector
+    from icp_slam_yolo_tpu.models.eval import evaluate_pose_detector
 
-    payload, batch_stats, meta = load_checkpoint(ckpt_path)
+    payload, _, meta = load_checkpoint(ckpt_path)
     det = Detector(num_classes=1, task="pose", img_size=img_size,
                    conf_threshold=0.25, params=payload)
-
-    errs, oks_all, hits, n_det, n_img = [], [], 0, 0, 0
-    for ip, lp in val_pairs:
-        cls, boxes, kpts = parse_pose_label(lp)
-        if not len(cls):
-            continue
-        n_img += 1
-        img = np.asarray(Image.open(ip).convert("RGB"))
-        h0, w0 = img.shape[:2]
-        out = det(img)
-        if not len(out["boxes"]):
-            continue
-        n_det += 1
-        best = int(np.argmax(out["scores"]))
-        pred = out["keypoints"][best]  # (K, 3) original px
-        gt = kpts[0].copy()
-        gt[:, 0] *= w0
-        gt[:, 1] *= h0
-        vis = gt[:, 2] > 0
-        d = np.linalg.norm(pred[:, :2] - gt[:, :2], axis=1)[vis]
-        bw = (boxes[0, 2]) * w0
-        bh = (boxes[0, 3]) * h0
-        diag = float(np.hypot(bw, bh))
-        errs.extend(d.tolist())
-        hits += int(np.sum(d <= 0.1 * diag))
-        area = max(bw * bh, 1.0)
-        sigma = 1.0 / gt.shape[0]
-        oks = np.mean(np.exp(-(d ** 2) / (2 * area * (2 * sigma) ** 2)))
-        oks_all.append(float(oks))
-
-    errs = np.asarray(errs)
-    return {
-        "n_val": n_img,
-        "detection_recall": n_det / max(n_img, 1),
-        "corner_err_mean_px": float(errs.mean()) if len(errs) else None,
-        "corner_err_p90_px": float(np.percentile(errs, 90)) if len(errs) else None,
-        "pck_0.1": hits / max(len(errs), 1),
-        "oks_mean": float(np.mean(oks_all)) if oks_all else None,
-        "img_size": img_size,
-    }
+    metrics = evaluate_pose_detector(det, val_pairs)
+    metrics["img_size"] = img_size
+    return metrics
 
 
 if __name__ == "__main__":

@@ -10,9 +10,7 @@ import argparse
 import json
 import time
 
-import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 def main():
@@ -49,34 +47,10 @@ def main():
     print(f"checkpoint saved to {args.out}", flush=True)
 
     # mask-IoU eval on val: best detection's mask vs the first gt instance mask
-    from icp_slam_yolo_tpu.io.yolo_data import (
-        find_pairs, load_example, map_polygon, parse_polygons, rasterize_polygon,
-    )
-    from icp_slam_yolo_tpu.models.segment import assemble_masks
-    from icp_slam_yolo_tpu.models.yolo import decode_predictions
+    from icp_slam_yolo_tpu.models.eval import evaluate_segment_checkpoint
 
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    fwd = jax.jit(lambda x: model.apply(variables, x, train=False))
-    sp = args.img_size // 4
-    ious = []
-    for ip, lp in find_pairs(args.data + "/val")[:60]:
-        img, cls, boxes, (_, _, _, w0, h0) = load_example(ip, lp, args.img_size)
-        outs, protos = fwd(jnp.asarray(img[None]))
-        b, s, coefs = decode_predictions(outs, args.img_size)
-        top = int(np.argmax(np.asarray(s[0, :, 0])))
-        mask = np.asarray(assemble_masks(protos[0], coefs[0, top:top + 1], b[0, top:top + 1], args.img_size))[0]
-        _, polys = parse_polygons(lp)
-        if not polys:
-            continue
-        gt = rasterize_polygon(map_polygon(polys[0], w0, h0, args.img_size) * (sp / args.img_size), sp)
-        pred = mask >= 0.5
-        inter = float(np.logical_and(pred, gt > 0).sum())
-        union = float(np.logical_or(pred, gt > 0).sum())
-        if union > 0:
-            ious.append(inter / union)
-    ious = np.array(ious)
-    metrics = {"mask_iou_mean": float(ious.mean()), "mask_iou_p10": float(np.percentile(ious, 10)),
-               "n_val": int(len(ious))}
+    metrics = evaluate_segment_checkpoint(args.out, args.data + "/val", args.img_size,
+                                          max_images=60)
     print("VAL MASK METRICS: " + json.dumps(metrics), flush=True)
     with open(args.out + ".metrics.json", "w") as f:
         json.dump(metrics, f, indent=2)

@@ -54,3 +54,22 @@ def test_train_segment_cli(tmp_path, capsys):
 
     meta = _json.load(open(ckpt + ".json"))
     assert meta["task"] == "segment"
+
+
+def test_eval_cli_detect(tmp_path, capsys):
+    """`cli eval` on the shipped detect checkpoint over real val images
+    (Ultralytics `val` surface parity: the reference's results.csv metrics)."""
+    data = "/root/reference/dataset_pallet/val"
+    ckpt = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
+                        "pallet_detect_640.msgpack")
+    if not os.path.isdir(data) or not os.path.exists(ckpt):
+        pytest.skip("reference dataset / shipped checkpoint unavailable")
+    out_json = str(tmp_path / "metrics.json")
+    main(["eval", "--weights", ckpt, "--data", data, "--max-images", "2",
+          "--output", out_json])
+    import json
+
+    metrics = json.loads(open(out_json).read())
+    assert metrics["task"] == "detect"
+    assert set(metrics) >= {"precision", "recall", "mAP50", "mAP50_95"}
+    assert metrics["mAP50"] >= 0.99  # the shipped checkpoint is near-perfect
