@@ -8,6 +8,11 @@ and p90 angle error in degrees against the labeled polygon orientation).
         --ckpt checkpoints/pallet_obb_1024.msgpack
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 

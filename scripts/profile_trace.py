@@ -14,6 +14,11 @@ Usage (TPU host):
         --out docs/traces
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import glob
 import gzip

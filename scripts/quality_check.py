@@ -21,6 +21,11 @@ Jobs (all gated ~5% below measured):
 Use --job/--data/--start/--end/--no-gates for ad-hoc A/B replays.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import sys
 import time

@@ -5,6 +5,11 @@ Mirrors `runs/obb/train/args.yaml` (yolo11n-obb class) on `obb_hop_chu_nhat`
     PYTHONPATH=/root/.axon_site:/root/repo python scripts/train_obb.py --steps 800
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -7,6 +7,11 @@ metrics JSON.  Usage:
         --steps 1500 --out /tmp/pallet_ckpt
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -13,6 +13,11 @@ Usage:
     PYTHONPATH=/root/.axon_site:/root/repo python scripts/train_pose.py --steps 3000
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import random

@@ -6,6 +6,11 @@ the reference's auto-labeler consumes.  Usage:
     PYTHONPATH=/root/.axon_site:/root/repo python scripts/train_segment.py --steps 3000
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time
