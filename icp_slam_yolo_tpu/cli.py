@@ -189,6 +189,10 @@ def cmd_eval(args):
             from icp_slam_yolo_tpu.models.eval import evaluate_pose_detector
 
             pairs = find_pairs(args.data, label_root=args.label_dir)
+            pairs = [p for p in pairs if os.path.exists(p[1])]
+            if not pairs:
+                sys.exit("eval: no labeled images found — check --data/--label-dir "
+                         "(pose labels are .txt files next to the images or under --label-dir)")
             if args.val_split:
                 # the pose set has no train/val directories: reproduce the
                 # 80/20 seed-42 holdout (`chia.py:5-45` convention)
@@ -381,7 +385,10 @@ def main(argv=None):
     ev.add_argument("--data", required=True, help="YOLO-layout val dir (or image dir for pose)")
     ev.add_argument("--label-dir", default=None, help="pose: separate label root (output_pose)")
     ev.add_argument("--img-size", type=int, default=None, help="override checkpoint native size")
-    ev.add_argument("--max-images", type=int, default=None)
+    ev.add_argument("--max-images", type=int, default=None,
+                    help="cap the number of val images; unset evaluates the full "
+                         "directory for every task (including segment, whose library "
+                         "default of 60 is overridden here for consistency)")
     ev.add_argument("--val-split", action="store_true",
                     help="pose: evaluate the 20%% seed-42 holdout of --data")
     ev.add_argument("--output", default=None, help="write metrics JSON here")

@@ -1,7 +1,7 @@
 """Diagnose scan_data_3 generalization: per-scan accept/rmse dump + cluster
 analysis for both presets.  Writes /tmp/diag_scan3_<mode>.npz.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/diag_scan3.py [mode ...]
+Usage: python scripts/diag_scan3.py [mode ...]
 """
 
 import sys

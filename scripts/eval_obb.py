@@ -4,7 +4,7 @@ Produces the ``<ckpt>.metrics.json`` sidecar shipped with OBB checkpoints
 (precision/recall/mAP50/mAP50-95 like `runs/obb/train/results.csv`, plus mean
 and p90 angle error in degrees against the labeled polygon orientation).
 
-    PYTHONPATH=/root/.axon_site:/root/repo python scripts/eval_obb.py \
+    python scripts/eval_obb.py \
         --ckpt checkpoints/pallet_obb_1024.msgpack
 """
 

@@ -1,6 +1,6 @@
 """A/B fleet-step configs on real Scan_data_1 replay: throughput + accept rate.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/fleet_ab.py [n_scans]
+Usage: python scripts/fleet_ab.py [n_scans]
 """
 
 import sys

@@ -9,7 +9,7 @@ the optimum every call (otherwise the chain converges after call 1 and the
 marginal cost collapses to the converged-in-2-iters latency), and the raster
 points move per call.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_fleet.py
+Usage: python scripts/profile_fleet.py
 """
 
 import sys

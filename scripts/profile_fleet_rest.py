@@ -1,6 +1,6 @@
 """Time the non-ICP/non-raster pieces of the fleet step, plus the full step.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_fleet_rest.py
+Usage: python scripts/profile_fleet_rest.py
 """
 
 import sys

@@ -1,6 +1,6 @@
 """Per-op device-time trace of the B=8 vmapped fleet replay (bench_fleet cfg).
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_fleet_trace.py
+Usage: python scripts/profile_fleet_trace.py
 """
 
 import sys

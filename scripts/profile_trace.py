@@ -10,7 +10,7 @@ Two traced programs:
   * ``detect``  — a batch-8 640 px YOLO forward + decode + NMS
 
 Usage (TPU host):
-    PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_trace.py \
+    python scripts/profile_trace.py \
         --out docs/traces
 """
 

@@ -6,7 +6,7 @@ runs the COMPLETE datasets and fails loudly if acceptance or median inlier
 RMSE regress.  Run on TPU after any change to the pipeline, map buffers, or
 kernels:
 
-    PYTHONPATH=/root/.axon_site:/root/repo python scripts/quality_check.py
+    python scripts/quality_check.py
 
 Jobs (all gated ~5% below measured):
   * Scan_data_1 (1,800 scans) under the shipped offline + realtime presets.
@@ -27,7 +27,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import json
-import sys
 import time
 
 import numpy as np

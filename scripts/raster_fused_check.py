@@ -1,6 +1,6 @@
 """TPU check for the fused raster: parity vs the XLA path + b1/b8 timing.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/raster_fused_check.py
+Usage: python scripts/raster_fused_check.py
 """
 
 import sys

@@ -2,7 +2,7 @@
 
 Mirrors `runs/obb/train/args.yaml` (yolo11n-obb class) on `obb_hop_chu_nhat`
 (polygon labels -> enclosing boxes + angles).  Usage:
-    PYTHONPATH=/root/.axon_site:/root/repo python scripts/train_obb.py --steps 800
+    python scripts/train_obb.py --steps 800
 """
 
 import os

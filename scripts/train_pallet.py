@@ -3,7 +3,7 @@
 Mirrors the reference's detect training config (`train2/args.yaml`: 640 px,
 batch 16, SGD) on the bundled `dataset_pallet` split.  Writes a checkpoint +
 metrics JSON.  Usage:
-    PYTHONPATH=/root/.axon_site:/root/repo python scripts/train_pallet.py \
+    python scripts/train_pallet.py \
         --steps 1500 --out /tmp/pallet_ckpt
 """
 
@@ -32,6 +32,9 @@ def main():
                          "crossing of --target-map50 (time-to-quality)")
     ap.add_argument("--target-map50", type=float, default=0.99)
     ap.add_argument("--family", default="v8", choices=["v8", "v11", "v12"])
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
+                    help="forward/backward compute dtype; params stay float32 "
+                         "(the reference trains AMP, `train2/args.yaml` amp: true)")
     ap.add_argument("--no-scale-aug", action="store_true",
                     help="disable the zoom-out augmentation (the reference recipe "
                          "trains with scale jitter, `train2/args.yaml` scale: 0.5)")
@@ -52,7 +55,7 @@ def main():
                            batch_size=args.batch_size, max_gt=16, augment=True,
                            scale_aug=scale_aug)
     print(f"train images: {len(ds)} (device-resident)", flush=True)
-    model = YOLO(num_classes=1, family=args.family)
+    model = YOLO(num_classes=1, family=args.family, compute_dtype=jnp.dtype(args.dtype))
     state, tx = create_train_state(model, args.img_size, total_steps=args.steps)
     step_fn = jax.jit(make_train_step(model, tx, args.img_size))
 

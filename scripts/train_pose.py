@@ -10,7 +10,7 @@ consumable by `stereo_to_3d` (`img.py:3-14`) and the PnP pose solver
 
 Split is 80/20 seed 42 (the reference's own `chia.py:5-45` convention).
 Usage:
-    PYTHONPATH=/root/.axon_site:/root/repo python scripts/train_pose.py --steps 3000
+    python scripts/train_pose.py --steps 3000
 """
 
 import os

@@ -3,7 +3,7 @@
 Uses the reference's polygon-labeled dataset (`obb_hop_chu_nhat`) with masks
 rasterised from the label polygons — the capability class of the seg models
 the reference's auto-labeler consumes.  Usage:
-    PYTHONPATH=/root/.axon_site:/root/repo python scripts/train_segment.py --steps 3000
+    python scripts/train_segment.py --steps 3000
 """
 
 import os
@@ -21,11 +21,16 @@ import jax
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/root/reference/obb_hop_chu_nhat")
-    ap.add_argument("--img-size", type=int, default=320)
+    ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
+                    help="forward/backward compute dtype; params stay float32 "
+                         "(the reference trains AMP, `train2/args.yaml` amp: true)")
     ap.add_argument("--out", default="/tmp/seg_ckpt")
     args = ap.parse_args()
+
+    import jax.numpy as jnp
 
     from icp_slam_yolo_tpu.io.checkpoint import save_checkpoint
     from icp_slam_yolo_tpu.io.yolo_data import DeviceYoloDataset
@@ -35,7 +40,7 @@ def main():
     ds = DeviceYoloDataset(args.data + "/training", img_size=args.img_size,
                            batch_size=args.batch_size, max_gt=8, task="segment")
     print(f"segment train images: {len(ds)}", flush=True)
-    model = YOLO(num_classes=1, task="segment")
+    model = YOLO(num_classes=1, task="segment", compute_dtype=jnp.dtype(args.dtype))
     state, tx = create_train_state(model, args.img_size, total_steps=args.steps)
     step_fn = jax.jit(make_train_step(model, tx, args.img_size))
     it = iter(ds)
@@ -55,7 +60,7 @@ def main():
     from icp_slam_yolo_tpu.models.eval import evaluate_segment_checkpoint
 
     metrics = evaluate_segment_checkpoint(args.out, args.data + "/val", args.img_size,
-                                          max_images=60)
+                                          max_images=None)  # full val split (78 images)
     print("VAL MASK METRICS: " + json.dumps(metrics), flush=True)
     with open(args.out + ".metrics.json", "w") as f:
         json.dump(metrics, f, indent=2)
