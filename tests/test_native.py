@@ -140,3 +140,22 @@ def test_scanloader_on_reference_data():
     np.testing.assert_allclose(out, ref, rtol=1e-6)
     np.testing.assert_array_equal(counts, ref_counts)
     print(f"native {native_dt*1e3:.0f} ms vs python {py_dt*1e3:.0f} ms for 100 scans")
+
+
+def test_esp32_firmware_syntax():
+    """The flashable PlatformIO firmware sources (`native/esp32/*`) must
+    compile against the host-check Arduino API stubs — catches real C++
+    errors without the espressif32 toolchain (the protocol behavior itself
+    is covered by the robotlink tests above)."""
+    import subprocess
+
+    root = os.path.join(os.path.dirname(__file__), "..", "native", "esp32")
+    stubs = os.path.join(root, "hostcheck")
+    for proj in ("esp_ap", "esp_host2", "esp_uart"):
+        src = os.path.join(root, proj, "src", "main.cpp")
+        assert os.path.exists(src), src
+        res = subprocess.run(
+            ["g++", "-std=c++17", "-fsyntax-only", "-I", stubs, src],
+            capture_output=True, text=True,
+        )
+        assert res.returncode == 0, f"{proj}: {res.stderr}"

@@ -97,7 +97,9 @@ def test_fleet_per_robot_rate(scan_sequence):
 
     rate_single = t / timed(prog_single, single)
     rate_fleet = b * t / timed(prog_fleet, stack)
-    assert rate_fleet >= 2.0 * rate_single, (
+    # measured matched-rate scaling is ~3.7-4.3x (BENCH_DETAIL/PERF.md);
+    # gate at 3.0x so half the fleet win can't regress silently (VERDICT r3)
+    assert rate_fleet >= 3.0 * rate_single, (
         f"fleet does not scale: {rate_fleet:.0f} vs single {rate_single:.0f} scans/s"
     )
 
