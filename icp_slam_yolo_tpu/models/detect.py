@@ -23,6 +23,7 @@ def detector_from_checkpoint(
     iou_threshold: float = 0.45,
     compute_dtype=jnp.bfloat16,
     img_size: int | None = None,
+    fold_bn: bool = True,
 ) -> "Detector":
     """Build a ``Detector`` from a checkpoint, honouring its metadata
     (task/family/variant/n_kpt/img_size/num_classes) — loading an OBB, segment
@@ -42,6 +43,7 @@ def detector_from_checkpoint(
         iou_threshold=iou_threshold,
         params=payload,
         compute_dtype=compute_dtype,
+        fold_bn=fold_bn,
     )
 
 
@@ -62,9 +64,14 @@ class Detector:
         seed: int = 0,
         compute_dtype=jnp.bfloat16,  # MXU-native inference default; pass jnp.float32 to opt out
         n_kpt: int = 4,
+        fold_bn: bool = True,  # fold BatchNorm affines into conv kernels at
+        # load time: the same inference function with one elementwise op and
+        # one HBM round trip fewer per block (XLA measurably does not fuse
+        # the BN chain into the conv — scripts/detect_roofline.py).  Pass
+        # False to run the training-shaped graph.
     ):
         self.model = YOLO(num_classes=num_classes, variant=variant, task=task, family=family,
-                          n_kpt=n_kpt, compute_dtype=compute_dtype)
+                          n_kpt=n_kpt, compute_dtype=compute_dtype, fold_bn=fold_bn)
         self.img_size = img_size
         self.task = task
         self.conf_threshold = conf_threshold
@@ -78,6 +85,10 @@ class Detector:
         else:
             self.params = params["params"] if "params" in params else params
             self.batch_stats = params.get("batch_stats", {})
+            if fold_bn:
+                from icp_slam_yolo_tpu.models.yolo import fold_batchnorm
+
+                self.params, self.batch_stats = fold_batchnorm(self.params, self.batch_stats)
         self._predict = jax.jit(partial(self._predict_impl))
 
     def _predict_impl(self, params, batch_stats, images, conf_threshold, iou_threshold):

@@ -31,12 +31,21 @@ def _make_divisible(x: float, div: int = 8) -> int:
 
 
 class ConvBnAct(nn.Module):
-    """Conv + BatchNorm + SiLU — the reference stack's basic block."""
+    """Conv + BatchNorm + SiLU — the reference stack's basic block.
+
+    ``folded=True`` is the inference-only BN-folded form: one biased conv +
+    SiLU, mathematically identical once the BN affine is absorbed into the
+    kernel/bias (`fold_batchnorm`).  XLA does NOT reliably fuse the BN
+    elementwise chain into the conv (measured b128 detect FPS sits at ~97% of
+    the roofline that charges every BN an HBM round trip — see
+    scripts/detect_roofline.py), so removing the op from the graph removes
+    real traffic."""
 
     features: int
     kernel: int = 3
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -45,10 +54,11 @@ class ConvBnAct(nn.Module):
             (self.kernel, self.kernel),
             strides=self.stride,
             padding=self.kernel // 2,
-            use_bias=False,
+            use_bias=self.folded,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype)(x)
+        if not self.folded:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype)(x)
         return nn.silu(x)
 
 
@@ -56,11 +66,12 @@ class Bottleneck(nn.Module):
     features: int
     shortcut: bool = True
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = ConvBnAct(self.features, 3, dtype=self.dtype)(x, train)
-        y = ConvBnAct(self.features, 3, dtype=self.dtype)(y, train)
+        y = ConvBnAct(self.features, 3, dtype=self.dtype, folded=self.folded)(x, train)
+        y = ConvBnAct(self.features, 3, dtype=self.dtype, folded=self.folded)(y, train)
         return x + y if self.shortcut and x.shape[-1] == self.features else y
 
 
@@ -71,15 +82,16 @@ class C2f(nn.Module):
     n: int = 1
     shortcut: bool = False
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.features // 2
-        y = ConvBnAct(2 * c, 1, dtype=self.dtype)(x, train)
+        y = ConvBnAct(2 * c, 1, dtype=self.dtype, folded=self.folded)(x, train)
         parts = [y[..., :c], y[..., c:]]
         for _ in range(self.n):
-            parts.append(Bottleneck(c, self.shortcut, dtype=self.dtype)(parts[-1], train))
-        return ConvBnAct(self.features, 1, dtype=self.dtype)(jnp.concatenate(parts, axis=-1), train)
+            parts.append(Bottleneck(c, self.shortcut, dtype=self.dtype, folded=self.folded)(parts[-1], train))
+        return ConvBnAct(self.features, 1, dtype=self.dtype, folded=self.folded)(jnp.concatenate(parts, axis=-1), train)
 
 
 class C3k(nn.Module):
@@ -90,15 +102,16 @@ class C3k(nn.Module):
     n: int = 2
     e: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = max(8, int(self.features * self.e))
-        a = ConvBnAct(c, 1, dtype=self.dtype)(x, train)
-        b = ConvBnAct(c, 1, dtype=self.dtype)(x, train)
+        a = ConvBnAct(c, 1, dtype=self.dtype, folded=self.folded)(x, train)
+        b = ConvBnAct(c, 1, dtype=self.dtype, folded=self.folded)(x, train)
         for _ in range(self.n):
-            a = Bottleneck(c, True, dtype=self.dtype)(a, train)
-        return ConvBnAct(self.features, 1, dtype=self.dtype)(
+            a = Bottleneck(c, True, dtype=self.dtype, folded=self.folded)(a, train)
+        return ConvBnAct(self.features, 1, dtype=self.dtype, folded=self.folded)(
             jnp.concatenate([a, b], axis=-1), train
         )
 
@@ -114,18 +127,19 @@ class C3k2(nn.Module):
     c3k: bool = False
     e: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = max(8, int(self.features * self.e))
-        y = ConvBnAct(2 * c, 1, dtype=self.dtype)(x, train)
+        y = ConvBnAct(2 * c, 1, dtype=self.dtype, folded=self.folded)(x, train)
         parts = [y[..., :c], y[..., c:]]
         for _ in range(self.n):
             if self.c3k:
-                parts.append(C3k(c, 2, dtype=self.dtype)(parts[-1], train))
+                parts.append(C3k(c, 2, dtype=self.dtype, folded=self.folded)(parts[-1], train))
             else:
-                parts.append(Bottleneck(c, True, dtype=self.dtype)(parts[-1], train))
-        return ConvBnAct(self.features, 1, dtype=self.dtype)(
+                parts.append(Bottleneck(c, True, dtype=self.dtype, folded=self.folded)(parts[-1], train))
+        return ConvBnAct(self.features, 1, dtype=self.dtype, folded=self.folded)(
             jnp.concatenate(parts, axis=-1), train
         )
 
@@ -144,6 +158,7 @@ class Attention2d(nn.Module):
     num_heads: int
     area: int = 1
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -182,11 +197,12 @@ class PSABlock(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x + Attention2d(max(self.features // 64, 1), dtype=self.dtype)(x)
-        y = ConvBnAct(self.features * 2, 1, dtype=self.dtype)(x, train)
+        y = ConvBnAct(self.features * 2, 1, dtype=self.dtype, folded=self.folded)(x, train)
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype)(y)
@@ -199,15 +215,16 @@ class C2PSA(nn.Module):
     features: int
     n: int = 1
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.features // 2
-        y = ConvBnAct(2 * c, 1, dtype=self.dtype)(x, train)
+        y = ConvBnAct(2 * c, 1, dtype=self.dtype, folded=self.folded)(x, train)
         a, bpart = y[..., :c], y[..., c:]
         for _ in range(self.n):
-            a = PSABlock(c, dtype=self.dtype)(a, train)
-        return ConvBnAct(self.features, 1, dtype=self.dtype)(
+            a = PSABlock(c, dtype=self.dtype, folded=self.folded)(a, train)
+        return ConvBnAct(self.features, 1, dtype=self.dtype, folded=self.folded)(
             jnp.concatenate([a, bpart], axis=-1), train
         )
 
@@ -219,12 +236,13 @@ class ABlock(nn.Module):
     features: int
     area: int = 1
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x + Attention2d(max(self.features // 32, 1), self.area, dtype=self.dtype)(x)
         mid = max(8, int(self.features * 1.2))
-        y = ConvBnAct(mid, 1, dtype=self.dtype)(x, train)
+        y = ConvBnAct(mid, 1, dtype=self.dtype, folded=self.folded)(x, train)
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                          dtype=self.dtype)(y)
@@ -242,21 +260,22 @@ class A2C2f(nn.Module):
     area: int = 1
     e: float = 0.5
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = max(8, int(self.features * self.e))
-        y = ConvBnAct(c, 1, dtype=self.dtype)(x, train)
+        y = ConvBnAct(c, 1, dtype=self.dtype, folded=self.folded)(x, train)
         parts = [y]
         for _ in range(self.n):
             z = parts[-1]
             if self.a2:
-                z = ABlock(c, self.area, dtype=self.dtype)(z, train)
-                z = ABlock(c, self.area, dtype=self.dtype)(z, train)
+                z = ABlock(c, self.area, dtype=self.dtype, folded=self.folded)(z, train)
+                z = ABlock(c, self.area, dtype=self.dtype, folded=self.folded)(z, train)
             else:
-                z = C3k(c, 2, dtype=self.dtype)(z, train)
+                z = C3k(c, 2, dtype=self.dtype, folded=self.folded)(z, train)
             parts.append(z)
-        out = ConvBnAct(self.features, 1, dtype=self.dtype)(
+        out = ConvBnAct(self.features, 1, dtype=self.dtype, folded=self.folded)(
             jnp.concatenate(parts, axis=-1), train
         )
         if self.a2 and x.shape[-1] == self.features:
@@ -270,15 +289,16 @@ class SPPF(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = self.features // 2
-        x = ConvBnAct(c, 1, dtype=self.dtype)(x, train)
+        x = ConvBnAct(c, 1, dtype=self.dtype, folded=self.folded)(x, train)
         p1 = nn.max_pool(x, (5, 5), strides=(1, 1), padding="SAME")
         p2 = nn.max_pool(p1, (5, 5), strides=(1, 1), padding="SAME")
         p3 = nn.max_pool(p2, (5, 5), strides=(1, 1), padding="SAME")
-        return ConvBnAct(self.features, 1, dtype=self.dtype)(jnp.concatenate([x, p1, p2, p3], axis=-1), train)
+        return ConvBnAct(self.features, 1, dtype=self.dtype, folded=self.folded)(jnp.concatenate([x, p1, p2, p3], axis=-1), train)
 
 
 def _upsample2(x):
@@ -292,6 +312,7 @@ class DetectHead(nn.Module):
     num_classes: int
     reg_max: int = 16
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
@@ -299,11 +320,11 @@ class DetectHead(nn.Module):
         c2 = max(16, feats[0].shape[-1] // 4, self.reg_max * 4)
         c3 = max(feats[0].shape[-1], min(self.num_classes, 100))
         for f in feats:
-            box = ConvBnAct(c2, 3, dtype=self.dtype)(f, train)
-            box = ConvBnAct(c2, 3, dtype=self.dtype)(box, train)
+            box = ConvBnAct(c2, 3, dtype=self.dtype, folded=self.folded)(f, train)
+            box = ConvBnAct(c2, 3, dtype=self.dtype, folded=self.folded)(box, train)
             box = nn.Conv(4 * self.reg_max, (1, 1), dtype=self.dtype)(box)
-            cls = ConvBnAct(c3, 3, dtype=self.dtype)(f, train)
-            cls = ConvBnAct(c3, 3, dtype=self.dtype)(cls, train)
+            cls = ConvBnAct(c3, 3, dtype=self.dtype, folded=self.folded)(f, train)
+            cls = ConvBnAct(c3, 3, dtype=self.dtype, folded=self.folded)(cls, train)
             cls = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                           bias_init=nn.initializers.constant(-4.6))(cls)  # prior p~0.01
             outs.append((box, cls))
@@ -320,7 +341,7 @@ class OBBHead(DetectHead):
         full = []
         c4 = max(feats[0].shape[-1] // 4, 16)
         for f, (box, cls) in zip(feats, outs):
-            ang = ConvBnAct(c4, 3, dtype=self.dtype)(f, train)
+            ang = ConvBnAct(c4, 3, dtype=self.dtype, folded=self.folded)(f, train)
             ang = nn.Conv(1, (1, 1), dtype=self.dtype)(ang)
             full.append((box, cls, ang))
         return full
@@ -352,8 +373,8 @@ class PoseHead(DetectHead):
         full = []
         c4 = max(feats[0].shape[-1] // 4, self.n_kpt * 3)
         for f, (box, cls) in zip(feats, outs):
-            kp = ConvBnAct(c4, 3, dtype=self.dtype)(f, train)
-            kp = ConvBnAct(c4, 3, dtype=self.dtype)(kp, train)
+            kp = ConvBnAct(c4, 3, dtype=self.dtype, folded=self.folded)(f, train)
+            kp = ConvBnAct(c4, 3, dtype=self.dtype, folded=self.folded)(kp, train)
             kp = nn.Conv(self.n_kpt * 3, (1, 1), dtype=self.dtype)(kp)
             full.append((box, cls, kp))
         return full
@@ -373,7 +394,7 @@ class SegmentHead(DetectHead):
         full = []
         c4 = max(feats[0].shape[-1] // 4, self.n_coeffs)
         for f, (box, cls) in zip(feats, outs):
-            mc = ConvBnAct(c4, 3, dtype=self.dtype)(f, train)
+            mc = ConvBnAct(c4, 3, dtype=self.dtype, folded=self.folded)(f, train)
             mc = nn.Conv(self.n_coeffs, (1, 1), dtype=self.dtype)(mc)
             full.append((box, cls, mc))
         return full
@@ -386,12 +407,13 @@ class Proto(nn.Module):
     n_protos: int = 32
     mid: int = 64
     dtype: jnp.dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, p3, train: bool = False):
-        x = ConvBnAct(self.mid, 3, dtype=self.dtype)(p3, train)
+        x = ConvBnAct(self.mid, 3, dtype=self.dtype, folded=self.folded)(p3, train)
         x = _upsample2(x)
-        x = ConvBnAct(self.mid, 3, dtype=self.dtype)(x, train)
+        x = ConvBnAct(self.mid, 3, dtype=self.dtype, folded=self.folded)(x, train)
         return nn.Conv(self.n_protos, (1, 1), dtype=self.dtype)(x)
 
 
@@ -422,6 +444,7 @@ class YOLO(nn.Module):
     reg_max: int = 16
     n_kpt: int = 4
     compute_dtype: jnp.dtype = jnp.float32
+    fold_bn: bool = False  # inference-only: BN affine pre-absorbed into conv kernel/bias
 
     def setup(self):
         scales = {
@@ -434,62 +457,62 @@ class YOLO(nn.Module):
         ch[4] = min(ch[4], _make_divisible(1024 * width))
         self._ch = ch
         dt = self.compute_dtype
-        self.stem = ConvBnAct(ch[0], 3, 2, dtype=dt)
-        self.down2 = ConvBnAct(ch[1], 3, 2, dtype=dt)
-        self.down3 = ConvBnAct(ch[2], 3, 2, dtype=dt)
-        self.pan_d3 = ConvBnAct(ch[2], 3, 2, dtype=dt)
-        self.pan_d4 = ConvBnAct(ch[3], 3, 2, dtype=dt)
+        self.stem = ConvBnAct(ch[0], 3, 2, dtype=dt, folded=self.fold_bn)
+        self.down2 = ConvBnAct(ch[1], 3, 2, dtype=dt, folded=self.fold_bn)
+        self.down3 = ConvBnAct(ch[2], 3, 2, dtype=dt, folded=self.fold_bn)
+        self.pan_d3 = ConvBnAct(ch[2], 3, 2, dtype=dt, folded=self.fold_bn)
+        self.pan_d4 = ConvBnAct(ch[3], 3, 2, dtype=dt, folded=self.fold_bn)
         if self.family == "v8":
             n1 = max(round(3 * depth), 1)
             n2 = max(round(6 * depth), 1)
-            self.c2f_2 = C2f(ch[1], n1, True, dtype=dt)
-            self.c2f_3 = C2f(ch[2], n2, True, dtype=dt)
-            self.down4 = ConvBnAct(ch[3], 3, 2, dtype=dt)
-            self.c2f_4 = C2f(ch[3], n2, True, dtype=dt)
-            self.down5 = ConvBnAct(ch[4], 3, 2, dtype=dt)
-            self.c2f_5 = C2f(ch[4], n1, True, dtype=dt)
-            self.sppf = SPPF(ch[4], dtype=dt)
-            self.neck_p4 = C2f(ch[3], n1, False, dtype=dt)
-            self.neck_p3 = C2f(ch[2], n1, False, dtype=dt)
-            self.pan_p4 = C2f(ch[3], n1, False, dtype=dt)
-            self.pan_p5 = C2f(ch[4], n1, False, dtype=dt)
+            self.c2f_2 = C2f(ch[1], n1, True, dtype=dt, folded=self.fold_bn)
+            self.c2f_3 = C2f(ch[2], n2, True, dtype=dt, folded=self.fold_bn)
+            self.down4 = ConvBnAct(ch[3], 3, 2, dtype=dt, folded=self.fold_bn)
+            self.c2f_4 = C2f(ch[3], n2, True, dtype=dt, folded=self.fold_bn)
+            self.down5 = ConvBnAct(ch[4], 3, 2, dtype=dt, folded=self.fold_bn)
+            self.c2f_5 = C2f(ch[4], n1, True, dtype=dt, folded=self.fold_bn)
+            self.sppf = SPPF(ch[4], dtype=dt, folded=self.fold_bn)
+            self.neck_p4 = C2f(ch[3], n1, False, dtype=dt, folded=self.fold_bn)
+            self.neck_p3 = C2f(ch[2], n1, False, dtype=dt, folded=self.fold_bn)
+            self.pan_p4 = C2f(ch[3], n1, False, dtype=dt, folded=self.fold_bn)
+            self.pan_p5 = C2f(ch[4], n1, False, dtype=dt, folded=self.fold_bn)
         elif self.family == "v11":
             n = max(round(2 * depth), 1)
-            self.b2 = C3k2(ch[2], n, False, 0.25, dtype=dt)
-            self.b3 = C3k2(ch[3], n, False, 0.25, dtype=dt)
-            self.down4 = ConvBnAct(ch[3], 3, 2, dtype=dt)
-            self.b4 = C3k2(ch[3], n, True, dtype=dt)
-            self.down5 = ConvBnAct(ch[4], 3, 2, dtype=dt)
-            self.b5 = C3k2(ch[4], n, True, dtype=dt)
-            self.sppf = SPPF(ch[4], dtype=dt)
-            self.psa = C2PSA(ch[4], n, dtype=dt)
-            self.neck_p4 = C3k2(ch[3], n, False, dtype=dt)
-            self.neck_p3 = C3k2(ch[2], n, False, dtype=dt)
-            self.pan_p4 = C3k2(ch[3], n, False, dtype=dt)
-            self.pan_p5 = C3k2(ch[4], n, True, dtype=dt)
+            self.b2 = C3k2(ch[2], n, False, 0.25, dtype=dt, folded=self.fold_bn)
+            self.b3 = C3k2(ch[3], n, False, 0.25, dtype=dt, folded=self.fold_bn)
+            self.down4 = ConvBnAct(ch[3], 3, 2, dtype=dt, folded=self.fold_bn)
+            self.b4 = C3k2(ch[3], n, True, dtype=dt, folded=self.fold_bn)
+            self.down5 = ConvBnAct(ch[4], 3, 2, dtype=dt, folded=self.fold_bn)
+            self.b5 = C3k2(ch[4], n, True, dtype=dt, folded=self.fold_bn)
+            self.sppf = SPPF(ch[4], dtype=dt, folded=self.fold_bn)
+            self.psa = C2PSA(ch[4], n, dtype=dt, folded=self.fold_bn)
+            self.neck_p4 = C3k2(ch[3], n, False, dtype=dt, folded=self.fold_bn)
+            self.neck_p3 = C3k2(ch[2], n, False, dtype=dt, folded=self.fold_bn)
+            self.pan_p4 = C3k2(ch[3], n, False, dtype=dt, folded=self.fold_bn)
+            self.pan_p5 = C3k2(ch[4], n, True, dtype=dt, folded=self.fold_bn)
         elif self.family == "v12":
             n = max(round(2 * depth), 1)
-            self.b2 = C3k2(ch[2], n, False, 0.25, dtype=dt)
-            self.b3 = C3k2(ch[3], n, False, 0.25, dtype=dt)
-            self.down4 = ConvBnAct(ch[3], 3, 2, dtype=dt)
-            self.b4 = A2C2f(ch[3], 2 * n, True, 4, dtype=dt)
-            self.down5 = ConvBnAct(ch[4], 3, 2, dtype=dt)
-            self.b5 = A2C2f(ch[4], 2 * n, True, 1, dtype=dt)
-            self.neck_p4 = A2C2f(ch[3], n, False, dtype=dt)
-            self.neck_p3 = A2C2f(ch[2], n, False, dtype=dt)
-            self.pan_p4 = A2C2f(ch[3], n, False, dtype=dt)
-            self.pan_p5 = C3k2(ch[4], n, True, dtype=dt)
+            self.b2 = C3k2(ch[2], n, False, 0.25, dtype=dt, folded=self.fold_bn)
+            self.b3 = C3k2(ch[3], n, False, 0.25, dtype=dt, folded=self.fold_bn)
+            self.down4 = ConvBnAct(ch[3], 3, 2, dtype=dt, folded=self.fold_bn)
+            self.b4 = A2C2f(ch[3], 2 * n, True, 4, dtype=dt, folded=self.fold_bn)
+            self.down5 = ConvBnAct(ch[4], 3, 2, dtype=dt, folded=self.fold_bn)
+            self.b5 = A2C2f(ch[4], 2 * n, True, 1, dtype=dt, folded=self.fold_bn)
+            self.neck_p4 = A2C2f(ch[3], n, False, dtype=dt, folded=self.fold_bn)
+            self.neck_p3 = A2C2f(ch[2], n, False, dtype=dt, folded=self.fold_bn)
+            self.pan_p4 = A2C2f(ch[3], n, False, dtype=dt, folded=self.fold_bn)
+            self.pan_p5 = C3k2(ch[4], n, True, dtype=dt, folded=self.fold_bn)
         else:
             raise ValueError(f"unknown family: {self.family}")
         if self.task == "obb":
-            self.head = OBBHead(self.num_classes, self.reg_max, dtype=dt)
+            self.head = OBBHead(self.num_classes, self.reg_max, dtype=dt, folded=self.fold_bn)
         elif self.task == "segment":
-            self.head = SegmentHead(self.num_classes, self.reg_max, dtype=dt)
-            self.proto = Proto(dtype=dt)
+            self.head = SegmentHead(self.num_classes, self.reg_max, dtype=dt, folded=self.fold_bn)
+            self.proto = Proto(dtype=dt, folded=self.fold_bn)
         elif self.task == "pose":
-            self.head = PoseHead(self.num_classes, self.reg_max, n_kpt=self.n_kpt, dtype=dt)
+            self.head = PoseHead(self.num_classes, self.reg_max, n_kpt=self.n_kpt, dtype=dt, folded=self.fold_bn)
         else:
-            self.head = DetectHead(self.num_classes, self.reg_max, dtype=dt)
+            self.head = DetectHead(self.num_classes, self.reg_max, dtype=dt, folded=self.fold_bn)
 
     def _backbone(self, x, train: bool):
         """Returns the (P3, P4, P5) pyramid (strides 8/16/32)."""
@@ -612,3 +635,48 @@ def decode_predictions(outs, img_size: int, reg_max: int = 16, task: str | None 
     scores = jnp.concatenate(scores, axis=1)
     extras = jnp.concatenate(extras_l, axis=1) if extras_l else None
     return boxes, scores, extras
+
+
+def fold_batchnorm(params, batch_stats, eps: float = 1e-3):
+    """Absorb every ConvBnAct's BatchNorm affine into its conv kernel + bias.
+
+    ``y = BN(K * x) = (K*x - mean)/sqrt(var+eps) * scale + bias`` folds to
+    ``K' = K * scale/sqrt(var+eps)`` (broadcast over the output channel) and
+    ``b' = bias - mean * scale/sqrt(var+eps)`` — exactly the inference
+    function, one op and one HBM round trip fewer per block (the detect
+    roofline is HBM-bound at every batch size, scripts/detect_roofline.py).
+
+    Only scopes that ARE a ConvBnAct (exactly {Conv_0, BatchNorm_0}) fold;
+    bare Conv+BatchNorm pairs inside PSA/ABlock scopes keep their BN (the
+    folded model still applies it).  Returns ``(params, batch_stats)`` shaped
+    for ``YOLO(fold_bn=True)``.
+    """
+    import numpy as _np
+
+    def walk(p, bs):
+        if not isinstance(p, dict):
+            return p, bs
+        if set(p.keys()) == {"Conv_0", "BatchNorm_0"} and "kernel" in p["Conv_0"]:
+            k = _np.asarray(p["Conv_0"]["kernel"], _np.float32)
+            g = _np.asarray(p["BatchNorm_0"]["scale"], _np.float32)
+            b = _np.asarray(p["BatchNorm_0"]["bias"], _np.float32)
+            mean = _np.asarray(bs["BatchNorm_0"]["mean"], _np.float32)
+            var = _np.asarray(bs["BatchNorm_0"]["var"], _np.float32)
+            s = g / _np.sqrt(var + eps)
+            return {"Conv_0": {"kernel": jnp.asarray(k * s), "bias": jnp.asarray(b - mean * s)}}, None
+        new_p, new_bs = {}, {}
+        for key, sub in p.items():
+            sub_bs = bs.get(key, {}) if isinstance(bs, dict) else {}
+            fp, fbs = walk(sub, sub_bs)
+            new_p[key] = fp
+            if fbs:
+                new_bs[key] = fbs
+        # keep batch_stats subtrees with no params sibling (bare BatchNorms)
+        if isinstance(bs, dict):
+            for key, sub in bs.items():
+                if key not in p:
+                    new_bs[key] = sub
+        return new_p, (new_bs or None)
+
+    fp, fbs = walk(params, batch_stats or {})
+    return fp, (fbs or {})

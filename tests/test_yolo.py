@@ -227,3 +227,27 @@ def test_device_dataset_scale_aug(tmp_path):
     img0 = np.asarray(batch["images"][0])
     assert img0[26, 26].mean() > 0.5  # inside the zoomed square
     assert abs(float(img0[5, 5].mean()) - 114 / 255) < 0.02  # letterbox gray outside
+
+
+def test_fold_batchnorm_preserves_outputs():
+    """BN folding (`fold_batchnorm` + `YOLO(fold_bn=True)`) must compute the
+    same inference function: raw head outputs equal within reparameterisation
+    rounding on random params with perturbed (non-identity) batch stats."""
+    import jax
+    import numpy as np
+
+    from icp_slam_yolo_tpu.models.yolo import YOLO, fold_batchnorm
+
+    m0 = YOLO(num_classes=1)
+    m1 = YOLO(num_classes=1, fold_bn=True)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    v = m0.init(jax.random.key(0), x)
+    rng = np.random.default_rng(1)
+    bs = jax.tree.map(lambda a: a + 0.1 * rng.standard_normal(a.shape).astype(a.dtype),
+                      v["batch_stats"])
+    o0 = m0.apply({"params": v["params"], "batch_stats": bs}, x, train=False)
+    fp, fbs = fold_batchnorm(v["params"], bs)
+    assert fbs == {}  # v8 has no bare BatchNorms: everything folds
+    o1 = m1.apply({"params": fp, "batch_stats": fbs}, x, train=False)
+    for a, b in zip(jax.tree.leaves(o0), jax.tree.leaves(o1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
