@@ -24,9 +24,11 @@ _STRIDE = 2 * _OFF   # row stride of the flattened voxel key
 _SENTINEL = 2**26  # plain int: avoid import-time backend initialisation
 
 
-def voxel_keys(xy: jnp.ndarray, valid: jnp.ndarray, voxel_size: float) -> jnp.ndarray:
-    """Flattened int32 voxel key per point; invalid points get a sentinel key."""
-    ij = jnp.floor(xy / jnp.float32(voxel_size)).astype(jnp.int32)
+def voxel_keys(xy: jnp.ndarray, valid: jnp.ndarray, voxel_size) -> jnp.ndarray:
+    """Flattened int32 voxel key per point; invalid points get a sentinel key.
+    ``voxel_size`` may be a traced scalar (the batched downsample vmaps over
+    per-row sizes)."""
+    ij = jnp.floor(xy / jnp.asarray(voxel_size, jnp.float32)).astype(jnp.int32)
     ij = jnp.clip(ij + _OFF, 0, _STRIDE - 1)
     key = ij[:, 0] * _STRIDE + ij[:, 1]
     return jnp.where(valid, key, _SENTINEL)
@@ -100,6 +102,21 @@ def voxel_downsample(xy: jnp.ndarray, valid: jnp.ndarray, voxel_size: float):
     out_xy = jnp.stack([sx, sy], axis=1) / jnp.maximum(sw, 1.0)[:, None]
     out_xy = jnp.where(out_valid[:, None], out_xy, 0.0)
     return out_xy, out_valid
+
+
+def voxel_downsample_batched(xys: jnp.ndarray, valids: jnp.ndarray, voxel_sizes):
+    """Segment-mean downsample of ``B`` same-length clouds at per-row voxel
+    sizes in ONE call: ``(B, N, 2), (B, N), (B,) -> ((B, N, 2), (B, N))``.
+
+    `jax.lax.sort` and `cumsum` batch natively, so vmapping the single-cloud
+    implementation turns the 2B small sorts + B cumsums of separate calls into
+    2 batched sorts + 1 batched cumsum — the realtime SLAM step runs two
+    back-to-back scan-sized downsamples (duplicate filter at 30 mm +
+    occupancy dedup at 2x grid resolution, `mainn.py:320,338`) whose separate
+    dispatches were pure overhead at N=512.
+    """
+    sizes = jnp.asarray(voxel_sizes, jnp.float32)
+    return jax.vmap(voxel_downsample)(xys, valids, sizes)
 
 
 def compact(xy: jnp.ndarray, valid: jnp.ndarray, capacity: int):

@@ -31,7 +31,7 @@ from icp_slam_yolo_tpu.core.registration import icp_masked
 from icp_slam_yolo_tpu.ops import geometry as geo
 from icp_slam_yolo_tpu.ops.outliers import dynamic_points_mask, statistical_outlier_mask
 from icp_slam_yolo_tpu.ops.raster import occupancy_keep_mask, prune_keep_mask, update_occupancy
-from icp_slam_yolo_tpu.ops.voxel import compact, voxel_downsample
+from icp_slam_yolo_tpu.ops.voxel import compact, voxel_downsample, voxel_downsample_batched
 
 
 class SlamState(NamedTuple):
@@ -266,17 +266,23 @@ def _realtime_update(
     cur_xy = jnp.where(accepted, new_global, state.prev_xy)
     cur_valid = jnp.where(accepted, valid, state.prev_valid)
 
+    # the two post-ICP scan downsamples — duplicate filter (30 mm,
+    # `mainn.py:320`) and occupancy dedup (2x grid resolution, `mainn.py:338`)
+    # — run as ONE batched sort+prefix-sum call (separate N=512 calls were
+    # dispatch-bound)
+    (dd_xy, occ_xy), (dd_valid, occ_valid) = voxel_downsample_batched(
+        jnp.stack([new_global, cur_xy]),
+        jnp.stack([valid, cur_valid]),
+        (cfg.duplicate_voxel_mm, 2.0 * cfg.map.resolution_mm_per_px),
+    )
+
     # insertion pipeline (accept only)
-    dd_xy, dd_valid = voxel_downsample(new_global, valid, cfg.duplicate_voxel_mm)
     add_valid = dynamic_points_mask(dd_xy, dd_valid, state.prev_xy, state.prev_valid, cfg.dynamic_distance_mm)
     add_valid = occupancy_keep_mask(dd_xy, add_valid, state.occ, cfg.map, cfg.occupancy.free_threshold)
     add_valid = add_valid & accepted
 
     big_xy = jnp.concatenate([state.map_xy, dd_xy], axis=0)
     big_valid = jnp.concatenate([state.map_valid, add_valid], axis=0)
-
-    # occupancy update with 2x-resolution-deduped current points
-    occ_xy, occ_valid = voxel_downsample(cur_xy, cur_valid, 2.0 * cfg.map.resolution_mm_per_px)
     occ = update_occupancy(state.occ, occ_xy, occ_valid, pose[:2], cfg.map, cfg.occupancy)
 
     # periodic maintenance (counts only processed scans, `mainn.py:342`),

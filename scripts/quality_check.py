@@ -68,7 +68,10 @@ def run_oracle_parity(scans_raw, padded) -> dict:
     from icp_slam_yolo_tpu.reference_impl import oracle
     from icp_slam_yolo_tpu.slam import pipeline
 
-    cfg = SlamConfig(map_capacity=8192)
+    # default full capacity: at 8192 the plain config's acceptance collapses
+    # to ~31% past mid-sequence (oracle agrees — 29%: the cap, not a parity
+    # issue) and the trajectory comparison stops being meaningful
+    cfg = SlamConfig()
     _, ref_poses, ref_rmses, ref_acc = oracle.run_sequence(scans_raw, cfg)
     _, outs = pipeline.run_sequence(jnp.asarray(padded), cfg)
     acc = np.asarray(outs.accepted)

@@ -80,3 +80,20 @@ def test_statistical_outlier(rng):
     keep = np.asarray(keep)
     assert not keep[0]
     assert keep[1:].mean() > 0.9
+
+
+def test_voxel_downsample_batched_matches_separate():
+    """The batched per-row-voxel-size downsample (one sort over (B, N)) must
+    reproduce per-row `voxel_downsample` exactly — it backs the realtime
+    step's fused duplicate-filter + occupancy-dedup call."""
+    from icp_slam_yolo_tpu.ops.voxel import voxel_downsample, voxel_downsample_batched
+
+    rng = np.random.default_rng(3)
+    xy = jnp.asarray(rng.uniform(-5000, 5000, (3, 256, 2)), jnp.float32)
+    valid = jnp.asarray(rng.random((3, 256)) < 0.8)
+    sizes = (30.0, 60.0, 20.0)
+    bxy, bval = voxel_downsample_batched(xy, valid, sizes)
+    for i, s in enumerate(sizes):
+        sx, sv = voxel_downsample(xy[i], valid[i], s)
+        assert np.array_equal(np.asarray(sv), np.asarray(bval[i]))
+        np.testing.assert_allclose(np.asarray(sx), np.asarray(bxy[i]), atol=1e-4)
