@@ -10,6 +10,11 @@ Flask dependency (stdlib ``ThreadingHTTPServer``):
   GET  /video_feed            multipart JSON frames of current scan points
                               (`mainn.py:567-582`)
   GET  /map_image             current occupancy rendering as PNG (`mainn.py:584`)
+  GET  /map_viewer            deep-zoom tiled map viewer (reference:
+                              OpenSeadragon in `templates/jjj.html:9,150`;
+                              here a dependency-free canvas client)
+  GET  /map_tiles_meta        pyramid metadata {width,height,tile,zmax,mm_per_px}
+  GET  /map_tiles?z=&x=&y=    one 256 px PNG tile of the live map at level z
   GET  /save_map?filename=X   persist PNG + pixel-coords npy (`mainn.py:434-454`)
   GET  /list_saved_files      *.png in the work dir (`mainn.py:455-462`)
   POST /add_point             add POI at the robot pose (`mainn.py:464-479`)
@@ -62,6 +67,7 @@ _INDEX_HTML = """<!doctype html>
 <div id="side">
  <h2 style="margin:.2rem 0">tpu-slam</h2>
  <div id="mode">mapping</div>
+ <div><a href="/map_viewer" style="color:#8cf;font-size:.85rem">deep-zoom map viewer &rarr;</a></div>
  <h3>stream</h3>
  <button onclick="fetch('/stop_stream')">pause</button>
  <button onclick="fetch('/resume_stream')">resume</button>
@@ -228,6 +234,112 @@ es.onmessage = (ev) => {
 </script></body></html>
 """
 
+# Deep-zoom map viewer (reference: `templates/jjj.html` embeds OpenSeadragon
+# from a CDN, lines 9,150 — zero-egress here, so this is a dependency-free
+# canvas client speaking the same tiled-pyramid contract: /map_tiles_meta +
+# /map_tiles?z=&x=&y=).  Wheel = zoom around cursor (native -> beyond-native
+# magnification like OSD), drag = pan, POIs + live robot pose overlaid, and
+# the cursor's map position is read out in millimetres.
+_VIEWER_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>tpu-slam deep-zoom map</title>
+<style>
+ body{margin:0;background:#111;color:#eee;font-family:system-ui;overflow:hidden}
+ #hud{position:fixed;top:8px;left:8px;background:#000a;padding:.4rem .7rem;border-radius:6px;font-size:.85rem;z-index:2}
+ #hud a{color:#8cf}
+ canvas{display:block;cursor:grab}
+</style></head><body>
+<div id="hud"><a href="/">&larr; control panel</a> &nbsp; <span id="pos">-</span>
+ &nbsp; zoom <span id="zl">1.0</span>x</div>
+<canvas id="cv"></canvas>
+<script>
+const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
+let meta = null, scale = 1, ox = 0, oy = 0;           // native px -> screen: (p - o) * scale
+const tiles = new Map(), pois = [];
+let pose = null, epoch = 0;
+function resize(){ cv.width = innerWidth; cv.height = innerHeight; draw(); }
+addEventListener('resize', resize);
+function tileKey(z,x,y,e){ return z+'/'+x+'/'+y+'/'+e; }
+function getTile(z,x,y){
+  const k = tileKey(z,x,y,epoch);
+  if (tiles.has(k)) return tiles.get(k);
+  const im = new Image();
+  im.onload = draw;
+  im.src = `/map_tiles?z=${z}&x=${x}&y=${y}&e=${epoch}`;
+  tiles.set(k, im);
+  if (tiles.size > 600) { const first = tiles.keys().next().value; tiles.delete(first); }
+  return im;
+}
+function draw(){
+  if (!meta) return;
+  ctx.fillStyle = '#7f7f7f'; ctx.fillRect(0, 0, cv.width, cv.height);
+  // pyramid level whose pixels are closest below 1 screen px
+  const l = Math.max(0, Math.min(meta.zmax, meta.zmax + Math.floor(Math.log2(scale)) + 1));
+  const ls = 2 ** (meta.zmax - l);            // native px per level px
+  const sp = scale * ls;                      // screen px per level px
+  const t = meta.tile;
+  const lw = Math.ceil(meta.width / ls), lh = Math.ceil(meta.height / ls);
+  const x0 = Math.max(0, Math.floor(ox / ls / t)), y0 = Math.max(0, Math.floor(oy / ls / t));
+  const x1 = Math.min(Math.ceil(lw / t) - 1, Math.floor((ox + cv.width / scale) / ls / t));
+  const y1 = Math.min(Math.ceil(lh / t) - 1, Math.floor((oy + cv.height / scale) / ls / t));
+  ctx.imageSmoothingEnabled = sp < 4;         // crisp pixels when deep-zoomed
+  for (let ty = y0; ty <= y1; ty++) for (let tx = x0; tx <= x1; tx++){
+    const im = getTile(l, tx, ty);
+    if (!im.complete || !im.naturalWidth) continue;
+    ctx.drawImage(im, (tx * t * ls - ox) * scale, (ty * t * ls - oy) * scale, t * sp, t * sp);
+  }
+  for (const p of pois){
+    const sx = (p.pos_px[0] - ox) * scale, sy = (p.pos_px[1] - oy) * scale;
+    ctx.fillStyle = '#f55'; ctx.beginPath(); ctx.arc(sx, sy, 5, 0, 7); ctx.fill();
+    ctx.fillStyle = '#fff'; ctx.fillText(p.name, sx + 7, sy + 3);
+  }
+  if (pose){
+    const sx = (pose.x - ox) * scale, sy = (pose.y - oy) * scale;
+    ctx.strokeStyle = '#5f5'; ctx.fillStyle = '#5f5';
+    ctx.beginPath(); ctx.arc(sx, sy, 6, 0, 7); ctx.fill();
+    ctx.beginPath(); ctx.moveTo(sx, sy);
+    ctx.lineTo((pose.ex - ox) * scale, (pose.ey - oy) * scale); ctx.stroke();
+  }
+  document.getElementById('zl').textContent = scale.toFixed(2);
+}
+let dragging = false, lx = 0, ly = 0;
+cv.onpointerdown = e => { dragging = true; lx = e.clientX; ly = e.clientY; cv.setPointerCapture(e.pointerId); };
+cv.onpointerup = () => dragging = false;
+cv.onpointermove = e => {
+  if (dragging){ ox -= (e.clientX - lx) / scale; oy -= (e.clientY - ly) / scale; lx = e.clientX; ly = e.clientY; draw(); }
+  if (meta){
+    const px = ox + e.clientX / scale, py = oy + e.clientY / scale;
+    const mmx = (px - meta.center_px[0]) * meta.mm_per_px;
+    const mmy = (meta.center_px[1] - py) * meta.mm_per_px;
+    document.getElementById('pos').textContent =
+      `px (${px.toFixed(0)}, ${py.toFixed(0)})  mm (${mmx.toFixed(0)}, ${mmy.toFixed(0)})`;
+  }
+};
+cv.onwheel = e => {
+  e.preventDefault();
+  const f = e.deltaY < 0 ? 1.25 : 0.8;
+  const px = ox + e.clientX / scale, py = oy + e.clientY / scale;
+  scale = Math.max(0.05, Math.min(64, scale * f));
+  ox = px - e.clientX / scale; oy = py - e.clientY / scale;
+  draw();
+};
+async function refresh(){
+  const r = await fetch('/get_points_of_interest'); const j = await r.json();
+  pois.length = 0; for (const p of (j.points || [])) pois.push(p);
+  draw();
+}
+const es = new EventSource('/points_stream');
+es.onmessage = ev => { const d = JSON.parse(ev.data); if (d.pose) { pose = d.pose; draw(); } };
+setInterval(() => { epoch++; draw(); }, 5000);   // live map refresh: re-fetch tiles
+setInterval(refresh, 5000);
+fetch('/map_tiles_meta').then(r => r.json()).then(m => {
+  meta = m; resize();
+  scale = Math.min(innerWidth / m.width, innerHeight / m.height) * 0.95;
+  ox = -(innerWidth / scale - m.width) / 2; oy = -(innerHeight / scale - m.height) / 2;
+  refresh();
+});
+</script></body></html>
+"""
+
 
 def make_handler(state: ServerState):
     class Handler(BaseHTTPRequestHandler):
@@ -283,6 +395,20 @@ def make_handler(state: ServerState):
                 self._video_feed()
             elif path == "/map_image":
                 self._bytes(state.map_png_bytes(), "image/png")
+            elif path == "/map_viewer":
+                self._bytes(_VIEWER_HTML.encode(), "text/html")
+            elif path == "/map_tiles_meta":
+                self._json(state.map_tiles_meta())
+            elif path == "/map_tiles":
+                try:
+                    z = int((q.get("z") or ["0"])[0])
+                    tx = int((q.get("x") or ["0"])[0])
+                    ty = int((q.get("y") or ["0"])[0])
+                except ValueError:
+                    return self._json({"status": "error", "message": "bad tile coords"}, 400)
+                if not (0 <= z <= 12 and 0 <= tx < 4096 and 0 <= ty < 4096):
+                    return self._json({"status": "error", "message": "tile out of range"}, 400)
+                self._bytes(state.map_tile_png(z, tx, ty), "image/png")
             elif path == "/icp_image":
                 self._bytes(state.icp_view_png_bytes(), "image/png")
             elif path == "/landmarks":

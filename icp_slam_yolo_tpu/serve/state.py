@@ -188,6 +188,54 @@ class ServerState:
         img.save(buf, format="PNG")
         return buf.getvalue()
 
+    TILE_PX = 256
+
+    def map_tiles_meta(self) -> dict:
+        """Deep-zoom pyramid metadata for `/map_viewer` (the reference UI is
+        an OpenSeadragon deep-zoom viewer, `templates/jjj.html:9,150`; this
+        serves the same tiled-pyramid contract to a dependency-free canvas
+        client).  Level ``zmax`` is native resolution; each lower level
+        halves it."""
+        import math
+
+        h, w = self.cfg.map.height_px, self.cfg.map.width_px
+        zmax = max(0, math.ceil(math.log2(max(h, w) / self.TILE_PX)))
+        cx, cy = self.cfg.map.center_px
+        return {
+            "width": w, "height": h, "tile": self.TILE_PX, "zmax": zmax,
+            "mm_per_px": self.cfg.map.resolution_mm_per_px,
+            "center_px": [cx, cy],
+        }
+
+    def map_tile_png(self, z: int, x: int, y: int) -> bytes:
+        """One ``TILE_PX``-square PNG tile of the live occupancy map at pyramid
+        level ``z`` (0 = coarsest).  Out-of-map area is unpainted gray (127),
+        matching `occupancy_to_image`'s unknown value."""
+        import io as _io
+        import math
+
+        import numpy as _np
+        from PIL import Image
+
+        img = maps_io.occupancy_to_image(self.engine.occupancy())
+        h, w = img.shape
+        t = self.TILE_PX
+        zmax = max(0, math.ceil(math.log2(max(h, w) / t)))
+        z = max(0, min(int(z), zmax))
+        scale = 2 ** (zmax - z)
+        lw, lh = max(1, round(w / scale)), max(1, round(h / scale))
+        im = Image.fromarray(img, "L")
+        if scale > 1:
+            im = im.resize((lw, lh), Image.BILINEAR)
+        canvas = _np.full((t, t), 127, _np.uint8)
+        x0, y0 = int(x) * t, int(y) * t
+        if x0 < lw and y0 < lh and x0 >= 0 and y0 >= 0:
+            part = _np.asarray(im)[y0 : y0 + t, x0 : x0 + t]
+            canvas[: part.shape[0], : part.shape[1]] = part
+        buf = _io.BytesIO()
+        Image.fromarray(canvas, "L").save(buf, format="PNG")
+        return buf.getvalue()
+
     def attach_camera(self, detector, stereo, poll_s: float = 0.1) -> None:
         """Wire the perception loop (`mainn.py:135-266` camera worker): when
         the robot is within trigger distance of the target, run the detector

@@ -244,3 +244,49 @@ def test_load_pcd_map_before_any_scan(tmp_path, scan_sequence):
     assert n_valid == len(pts)
     out = state.feed_scan(scan_sequence[3])
     assert np.isfinite(out["rmse"])
+
+
+def test_deep_zoom_tiles(server):
+    """`/map_viewer` + the tiled-pyramid contract (`/map_tiles_meta`,
+    `/map_tiles`) — the reference UI's OpenSeadragon deep zoom
+    (`templates/jjj.html:9,150`) served dependency-free.  Tiles must be
+    valid PNGs, level-0 must contain the whole (painted) map, and
+    out-of-range / malformed coords must 400."""
+    import io
+
+    from PIL import Image
+
+    _, base = server
+    code, body = _get(base + "/map_viewer")
+    assert code == 200 and b"map_tiles_meta" in body
+
+    code, body = _get(base + "/map_tiles_meta")
+    meta = json.loads(body)
+    assert code == 200
+    assert meta["width"] == CFG.map.width_px and meta["height"] == CFG.map.height_px
+    assert meta["tile"] == 256 and meta["zmax"] >= 0
+
+    # the native-level tile must BE the corresponding crop of /map_image
+    # (same rendering, tiled) with unknown-gray padding beyond the map edge
+    code, body = _get(base + f"/map_tiles?z={meta['zmax']}&x=0&y=0")
+    tile = np.asarray(Image.open(io.BytesIO(body)))
+    assert code == 200 and tile.shape == (256, 256)
+    _, full_png = _get(base + "/map_image")
+    full = np.asarray(Image.open(io.BytesIO(full_png)))
+    h = min(256, full.shape[0])
+    w = min(256, full.shape[1])
+    assert np.array_equal(tile[:h, :w], full[:h, :w])
+    assert (tile[h:, :] == 127).all() and (tile[:, w:] == 127).all()
+
+    # beyond-the-map tile is all-unknown gray, not an error
+    code, body = _get(base + f"/map_tiles?z=0&x=3&y=3")
+    img = np.asarray(Image.open(io.BytesIO(body)))
+    assert code == 200 and (img == 127).all()
+
+    # malformed / out-of-range coords
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError):
+        _get(base + "/map_tiles?z=abc&x=0&y=0")
+    with pytest.raises(urllib.error.HTTPError):
+        _get(base + "/map_tiles?z=99&x=9999&y=0")
