@@ -478,6 +478,9 @@ def main():
         seq_hz_preset = bench_sequence(preset="offline")
         print(f"# full-sequence SLAM loop (shipped OFFLINE preset, rescue on): {seq_hz_preset:.1f} scans/s", file=sys.stderr)
         secondary["sequence_scans_per_sec_offline_preset"] = round(seq_hz_preset, 1)
+        seq_hz_rt = bench_sequence(preset="realtime")
+        print(f"# full-sequence SLAM loop (shipped REALTIME preset, all filters on): {seq_hz_rt:.1f} scans/s", file=sys.stderr)
+        secondary["sequence_scans_per_sec_realtime_preset"] = round(seq_hz_rt, 1)
         fps, gflop_img, tflops, mfu = bench_detect()
         print(f"# YOLO detect: {fps:.1f} FPS @640px bf16 ({gflop_img:.1f} GFLOP/img, "
               f"{tflops:.1f} TFLOP/s achieved, {mfu*100:.1f}% MFU; reference cameras: ~10 Hz)",
