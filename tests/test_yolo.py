@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from icp_slam_yolo_tpu.models.detect import Detector
 from icp_slam_yolo_tpu.models.yolo import YOLO, decode_predictions, dfl_decode, make_anchors
@@ -229,17 +230,24 @@ def test_device_dataset_scale_aug(tmp_path):
     assert abs(float(img0[5, 5].mean()) - 114 / 255) < 0.02  # letterbox gray outside
 
 
-def test_fold_batchnorm_preserves_outputs():
+@pytest.mark.parametrize("family", ["v8", "v11", "v12"])
+def test_fold_batchnorm_preserves_outputs(family):
     """BN folding (`fold_batchnorm` + `YOLO(fold_bn=True)`) must compute the
     same inference function: raw head outputs equal within reparameterisation
-    rounding on random params with perturbed (non-identity) batch stats."""
+    rounding on random params with perturbed (non-identity) batch stats.
+
+    v11/v12 matter separately: their PSA/area-attention blocks contain bare
+    Conv+BatchNorm pairs that must NOT fold (the folded model still applies
+    them from the surviving batch_stats subtree) — the shipped v11-OBB and
+    v12 checkpoints load through this path (`detector_from_checkpoint`
+    defaults `fold_bn=True`)."""
     import jax
     import numpy as np
 
     from icp_slam_yolo_tpu.models.yolo import YOLO, fold_batchnorm
 
-    m0 = YOLO(num_classes=1)
-    m1 = YOLO(num_classes=1, fold_bn=True)
+    m0 = YOLO(num_classes=1, family=family)
+    m1 = YOLO(num_classes=1, family=family, fold_bn=True)
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
     v = m0.init(jax.random.key(0), x)
     rng = np.random.default_rng(1)
@@ -247,7 +255,10 @@ def test_fold_batchnorm_preserves_outputs():
                       v["batch_stats"])
     o0 = m0.apply({"params": v["params"], "batch_stats": bs}, x, train=False)
     fp, fbs = fold_batchnorm(v["params"], bs)
-    assert fbs == {}  # v8 has no bare BatchNorms: everything folds
+    if family == "v8":
+        assert fbs == {}  # v8 has no bare BatchNorms: everything folds
+    else:
+        assert jax.tree.leaves(fbs), f"{family} keeps its PSA/ABlock bare BatchNorms"
     o1 = m1.apply({"params": fp, "batch_stats": fbs}, x, train=False)
     for a, b in zip(jax.tree.leaves(o0), jax.tree.leaves(o1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
