@@ -207,6 +207,40 @@ class ServerState:
             "center_px": [cx, cy],
         }
 
+    def _tile_level(self, z: int, ttl_s: float = 0.5):
+        """Level-``z`` uint8 rendering of the live map, cached for ``ttl_s``.
+
+        A viewer redraw fetches up to ~50 tiles of the SAME level; without
+        this cache each tile pays a device->host fetch of the full occupancy
+        grid plus a full-map resize.  One render per (level, ttl window),
+        guarded by the state lock (tile requests arrive on concurrent handler
+        threads)."""
+        import numpy as _np
+        from PIL import Image
+
+        with self.lock:
+            now = time.time()
+            if now - getattr(self, "_tile_cache_t", 0.0) > ttl_s:
+                self._tile_cache = {}
+                self._tile_cache_t = now
+            lvl = self._tile_cache.get(z)
+            if lvl is None:
+                img = self._tile_cache.get("native")
+                if img is None:
+                    img = maps_io.occupancy_to_image(self.engine.occupancy())
+                    self._tile_cache["native"] = img
+                h, w = img.shape
+                scale = 2**z
+                if scale > 1:
+                    lw, lh = max(1, round(w / scale)), max(1, round(h / scale))
+                    lvl = _np.asarray(
+                        Image.fromarray(img, "L").resize((lw, lh), Image.BILINEAR)
+                    )
+                else:
+                    lvl = img
+                self._tile_cache[z] = lvl
+            return lvl
+
     def map_tile_png(self, z: int, x: int, y: int) -> bytes:
         """One ``TILE_PX``-square PNG tile of the live occupancy map at pyramid
         level ``z`` (0 = coarsest).  Out-of-map area is unpainted gray (127),
@@ -217,20 +251,16 @@ class ServerState:
         import numpy as _np
         from PIL import Image
 
-        img = maps_io.occupancy_to_image(self.engine.occupancy())
-        h, w = img.shape
+        h, w = self.cfg.map.height_px, self.cfg.map.width_px
         t = self.TILE_PX
         zmax = max(0, math.ceil(math.log2(max(h, w) / t)))
         z = max(0, min(int(z), zmax))
-        scale = 2 ** (zmax - z)
-        lw, lh = max(1, round(w / scale)), max(1, round(h / scale))
-        im = Image.fromarray(img, "L")
-        if scale > 1:
-            im = im.resize((lw, lh), Image.BILINEAR)
+        lvl = self._tile_level(zmax - z)
+        lh, lw = lvl.shape
         canvas = _np.full((t, t), 127, _np.uint8)
         x0, y0 = int(x) * t, int(y) * t
         if x0 < lw and y0 < lh and x0 >= 0 and y0 >= 0:
-            part = _np.asarray(im)[y0 : y0 + t, x0 : x0 + t]
+            part = lvl[y0 : y0 + t, x0 : x0 + t]
             canvas[: part.shape[0], : part.shape[1]] = part
         buf = _io.BytesIO()
         Image.fromarray(canvas, "L").save(buf, format="PNG")
