@@ -13,8 +13,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from icp_slam_yolo_tpu.models.yolo import YOLO, decode_predictions
-from icp_slam_yolo_tpu.ops.nms import Detections, best_class, nms
+from icp_slam_yolo_tpu.models.yolo import YOLO, decode_predictions, decode_topk_detect
+from icp_slam_yolo_tpu.ops.nms import Detections, best_class, nms, suppress
 
 
 def detector_from_checkpoint(
@@ -97,6 +97,19 @@ class Detector:
         protos = None
         if self.task == "segment":
             outs, protos = outs  # (head outputs, (B, Hp, Wp, P) mask bases)
+
+        if self.task == "detect":
+            # fast path: top-K before the DFL decode (same candidates, fewer
+            # full-anchor passes — `decode_topk_detect`), then the fixpoint
+            # suppression directly on the pre-sorted K
+            n_anchors = sum(int(o[0].shape[1] * o[0].shape[2]) for o in outs)
+            k = min(self.max_detections, n_anchors)
+            boxes, scores, classes, idx = decode_topk_detect(outs, self.img_size, k)
+            dets = jax.vmap(partial(suppress, iou_threshold=iou_threshold))(
+                boxes, scores, classes, idx, scores >= conf_threshold
+            )
+            return dets, None, None
+
         boxes, scores, extras = decode_predictions(outs, self.img_size, task=self.task)
 
         def one(b, s):

@@ -637,6 +637,48 @@ def decode_predictions(outs, img_size: int, reg_max: int = 16, task: str | None 
     return boxes, scores, extras
 
 
+def decode_topk_detect(outs, img_size: int, k: int, reg_max: int = 16):
+    """Detect-head decode that selects top-K candidates BEFORE the DFL decode.
+
+    `decode_predictions` runs the DFL softmax + box assembly over all A
+    anchors (A=8400 at 640 px) and then NMS keeps <=K of them; since
+    ``argmax/max`` over class logits commute with the (monotone) sigmoid, the
+    top-K-by-confidence set is known from the raw logits, so the f32 DFL
+    softmax, the expected-bin reduction and the anchor box assembly need only
+    run on the K winners.  Removes the largest decode passes at every batch
+    size (the latency-regime tail of the detect roofline, docs/PERF.md).
+
+    Returns per-image score-sorted candidates
+    ``(boxes_xyxy (B,K,4), scores (B,K), classes (B,K) i32, idx (B,K) i32)``
+    with ``idx`` indexing the flat anchor axis in `decode_predictions` order —
+    identical candidate set/order as decode_predictions + best_class + top_k.
+    """
+    anchors, strides = make_anchors(img_size)
+    cls_flat, box_flat = [], []
+    for out in outs:
+        box_l, cls_l = out[0], out[1]
+        b, h, w, _ = box_l.shape
+        cls_flat.append(cls_l.reshape(b, h * w, -1))
+        box_flat.append(box_l.reshape(b, h * w, 4 * reg_max))
+    cls_flat = jnp.concatenate(cls_flat, axis=1)   # (B, A, C) raw logits
+    box_flat = jnp.concatenate(box_flat, axis=1)   # (B, A, 4*reg_max)
+
+    conf_logit = jnp.max(cls_flat, axis=-1)                       # (B, A)
+    cls_idx = jnp.argmax(cls_flat, axis=-1).astype(jnp.int32)     # (B, A)
+    top_logit, top_idx = jax.lax.top_k(conf_logit, k)             # (B, K)
+
+    box_logits_k = jnp.take_along_axis(box_flat, top_idx[..., None], axis=1)
+    ltrb = dfl_decode(box_logits_k, reg_max)                      # (B, K, 4)
+    anc = anchors[top_idx]                                        # (B, K, 2)
+    stri = strides[top_idx]                                       # (B, K)
+    xy1 = anc - ltrb[..., :2] * stri[..., None]
+    xy2 = anc + ltrb[..., 2:] * stri[..., None]
+    boxes = jnp.concatenate([xy1, xy2], axis=-1)
+    scores = jax.nn.sigmoid(top_logit.astype(jnp.float32))
+    classes = jnp.take_along_axis(cls_idx, top_idx, axis=1)
+    return boxes, scores, classes, top_idx.astype(jnp.int32)
+
+
 def fold_batchnorm(params, batch_stats, eps: float = 1e-3):
     """Absorb every ConvBnAct's BatchNorm affine into its conv kernel + bias.
 

@@ -2,9 +2,19 @@
 
 Ultralytics runs NMS on the host after the PyTorch forward; here detection is
 one compiled program, so NMS is in-graph: top-K pre-selection, a masked IoU
-matrix, and a fixed-length sequential suppression sweep under ``lax.scan``
-(SURVEY.md section 7: "padded boxes, masked IoU matrix, fixed-iteration
-suppression").
+matrix, and a parallel fixpoint suppression sweep (SURVEY.md section 7:
+"padded boxes, masked IoU matrix, fixed-iteration suppression").
+
+The greedy sweep is NOT run as a K-step sequential scan: with candidates
+score-sorted, greedy keep/suppress is the unique fixpoint of the
+lower-triangular relation ``keep_i = valid_i AND no kept j < i suppresses
+i`` (induction on i: keep_0 is forced, then each keep_i is forced by the
+earlier rows), and iterating that whole-vector equation from ``keep = valid``
+stabilises every index whose suppression-dependency chain is <= t after t
+iterations — so a `lax.while_loop` to fixpoint computes EXACT greedy NMS in
+(longest chain) iterations, typically 1-2 for detection workloads, instead
+of K sequential scan steps (K=100 tiny kernels dominated detect's decode+NMS
+tail in the latency regime).
 """
 
 from __future__ import annotations
@@ -62,25 +72,51 @@ def nms(
     top_boxes = boxes[top_idx]
     top_classes = classes[top_idx]
     cand_valid = top_scores > 0
+    return suppress(top_boxes, top_scores, top_classes,
+                    top_idx.astype(jnp.int32), cand_valid, iou_threshold)
 
+
+def suppress(
+    top_boxes: jnp.ndarray,
+    top_scores: jnp.ndarray,
+    top_classes: jnp.ndarray,
+    top_idx: jnp.ndarray,
+    cand_valid: jnp.ndarray,
+    iou_threshold: float = 0.45,
+) -> Detections:
+    """Greedy suppression over score-DESCENDING candidates (module docstring:
+    exact greedy keep as the fixpoint of the triangular relation, reached by
+    a while_loop in longest-suppression-chain iterations).
+
+    Inputs are the ``(K, ...)`` pre-selected candidates (row 0 = best score);
+    invalid rows must have ``cand_valid`` False.  Used directly by the
+    detector's decode-top-K-first fast path, and by `nms` above.
+    """
+    k = top_scores.shape[0]
     iou = box_iou(top_boxes, top_boxes)
     same_class = top_classes[:, None] == top_classes[None, :]
-    suppressor = (iou > iou_threshold) & same_class
+    order = jnp.arange(k)
+    # sup[j, i]: an earlier (higher-score) kept j removes i
+    sup = (iou > iou_threshold) & same_class & (order[:, None] < order[None, :])
 
-    def body(keep, i):
-        # candidate i survives unless a kept, earlier (higher-score) box overlaps
-        earlier = jnp.arange(k) < i
-        suppressed = jnp.any(keep & earlier & suppressor[i])
-        keep = keep.at[i].set(cand_valid[i] & ~suppressed)
-        return keep, None
+    def cond(carry):
+        keep, prev, it = carry
+        return (it < k) & jnp.any(keep != prev)
 
-    keep, _ = jax.lax.scan(body, jnp.zeros(k, bool), jnp.arange(k))
+    def body(carry):
+        keep, _, it = carry
+        suppressed = jnp.any(keep[:, None] & sup, axis=0)
+        return cand_valid & ~suppressed, keep, it + 1
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (cand_valid, jnp.zeros(k, bool), jnp.int32(0))
+    )
     return Detections(
         boxes=jnp.where(keep[:, None], top_boxes, 0.0),
         scores=jnp.where(keep, top_scores, 0.0),
         classes=jnp.where(keep, top_classes, -1),
         valid=keep,
-        anchor_idx=jnp.where(keep, top_idx.astype(jnp.int32), -1),
+        anchor_idx=jnp.where(keep, top_idx, -1),
     )
 
 

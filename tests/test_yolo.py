@@ -262,3 +262,93 @@ def test_fold_batchnorm_preserves_outputs(family):
     o1 = m1.apply({"params": fp, "batch_stats": fbs}, x, train=False)
     for a, b in zip(jax.tree.leaves(o0), jax.tree.leaves(o1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def _greedy_nms_oracle(boxes, scores, classes, conf, iou_thr, k):
+    """Sequential greedy NMS (the pre-fixpoint `lax.scan` semantics), in NumPy."""
+    boxes, scores, classes = map(np.asarray, (boxes, scores, classes))
+    cand = np.where(scores >= conf, scores, -1.0)
+    order = np.argsort(-cand, kind="stable")[:k]
+    tb, ts, tc = boxes[order], cand[order], classes[order]
+    keep = np.zeros(len(order), bool)
+    for i in range(len(order)):
+        if ts[i] <= 0:
+            continue
+        suppressed = False
+        for j in range(i):
+            if keep[j] and tc[j] == tc[i]:
+                lt = np.maximum(tb[i, :2], tb[j, :2])
+                rb = np.minimum(tb[i, 2:], tb[j, 2:])
+                wh = np.maximum(rb - lt, 0)
+                inter = wh[0] * wh[1]
+                area = lambda b: max(b[2] - b[0], 0) * max(b[3] - b[1], 0)
+                if inter / max(area(tb[i]) + area(tb[j]) - inter, 1e-9) > iou_thr:
+                    suppressed = True
+                    break
+        keep[i] = not suppressed
+    return tb[keep], ts[keep]
+
+
+def test_nms_fixpoint_matches_sequential_greedy():
+    """The while-loop fixpoint sweep must be EXACT greedy NMS, including
+    suppression chains (A kills B, so B cannot kill C -> C is kept) on dense
+    random overlapping boxes."""
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        n = 64
+        centers = rng.uniform(0, 60, (n, 2))  # dense field -> deep chains
+        wh = rng.uniform(5, 25, (n, 2))
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], axis=1).astype(np.float32)
+        scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        classes = rng.integers(0, 2, n).astype(np.int32)
+        det = nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+                  conf_threshold=0.3, iou_threshold=0.4, max_detections=32)
+        got_boxes = np.asarray(det.boxes)[np.asarray(det.valid)]
+        want_boxes, want_scores = _greedy_nms_oracle(boxes, scores, classes, 0.3, 0.4, 32)
+        assert len(got_boxes) == len(want_boxes), f"trial {trial}"
+        # same survivor set (score-sorted in both)
+        np.testing.assert_allclose(got_boxes, want_boxes, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(det.scores)[np.asarray(det.valid)], want_scores, atol=1e-6)
+
+
+def test_nms_chain_unsuppression():
+    """Three chained boxes: B overlaps A (suppressed), C overlaps B but not A
+    -> greedy keeps A and C.  A single-pass matrix NMS would drop C."""
+    boxes = jnp.asarray([[0.0, 0, 10, 10], [6, 0, 16, 10], [12, 0, 22, 10]])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    classes = jnp.zeros(3, jnp.int32)
+    # IoU(A,B) = IoU(B,C) = 40/160 = 0.25, IoU(A,C) = 0
+    det = nms(boxes, scores, classes, conf_threshold=0.25, iou_threshold=0.2, max_detections=3)
+    valid = np.asarray(det.valid)
+    kept = {tuple(np.asarray(det.boxes)[i].astype(int)) for i in range(3) if valid[i]}
+    assert kept == {(0, 0, 10, 10), (12, 0, 22, 10)}
+
+
+def test_decode_topk_path_matches_full_decode():
+    """Detector's detect fast path (top-K before DFL + fixpoint suppression)
+    must produce the identical Detections as the general path
+    (decode_predictions -> best_class -> nms)."""
+    from icp_slam_yolo_tpu.ops.nms import best_class as _bc
+
+    det = Detector(num_classes=2, img_size=SIZE, conf_threshold=0.01,
+                   iou_threshold=0.45, max_detections=16, compute_dtype=jnp.float32,
+                   fold_bn=False)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.uniform(0, 1, (2, SIZE, SIZE, 3)), jnp.float32)
+    fast = det.predict_batch(images)
+
+    variables = {"params": det.params, "batch_stats": det.batch_stats}
+    outs = det.model.apply(variables, images, train=False)
+    boxes, scores, _ = decode_predictions(outs, SIZE)
+
+    def one(b, s):
+        conf, cls = _bc(s)
+        return nms(b, conf, cls, 0.01, 0.45, 16)
+
+    ref = jax.vmap(one)(boxes, scores)
+    np.testing.assert_array_equal(np.asarray(fast.valid), np.asarray(ref.valid))
+    np.testing.assert_array_equal(np.asarray(fast.anchor_idx), np.asarray(ref.anchor_idx))
+    np.testing.assert_array_equal(np.asarray(fast.classes), np.asarray(ref.classes))
+    np.testing.assert_allclose(np.asarray(fast.boxes), np.asarray(ref.boxes), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fast.scores), np.asarray(ref.scores), atol=1e-6)
