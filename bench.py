@@ -370,7 +370,13 @@ def bench_fused(n_calls: int = 48, detect_every: int = 1, mode: str = "fused") -
             return st.pose[0] + jnp.sum(fr[0, 0, 0])
         return prog
 
-    perturb = lambda args, k: (args[0], args[1].at[:, 2].add(1e-4 * k), args[2])
+    # perturb BOTH live inputs: in detect_only mode the scan argument is dead
+    # and jit prunes it from the executable, so a scan-only perturbation never
+    # reaches the relay and every repeat content-cache-hits (measured as a
+    # 4.8e10 ticks/s reading); the frames feed the chain in every mode
+    perturb = lambda args, k: (
+        args[0], args[1].at[:, 2].add(1e-4 * k), args[2] + 1e-6 * k,
+    )
     # This bench showed the widest run-to-run spread behind the relay (774 vs
     # 1,315 ticks/s on consecutive --all runs): at the old n_calls=8 the chain
     # ran ~8 ms of device work against a ~25 ms RTT base, so the subtraction

@@ -13,8 +13,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from icp_slam_yolo_tpu.models.yolo import YOLO, decode_predictions, decode_topk_detect
-from icp_slam_yolo_tpu.ops.nms import Detections, best_class, nms, suppress
+from icp_slam_yolo_tpu.models.yolo import YOLO, decode_topk
+from icp_slam_yolo_tpu.ops.nms import Detections, suppress
 
 
 def detector_from_checkpoint(
@@ -98,25 +98,18 @@ class Detector:
         if self.task == "segment":
             outs, protos = outs  # (head outputs, (B, Hp, Wp, P) mask bases)
 
-        if self.task == "detect":
-            # fast path: top-K before the DFL decode (same candidates, fewer
-            # full-anchor passes — `decode_topk_detect`), then the fixpoint
-            # suppression directly on the pre-sorted K
-            n_anchors = sum(int(o[0].shape[1] * o[0].shape[2]) for o in outs)
-            k = min(self.max_detections, n_anchors)
-            boxes, scores, classes, idx = decode_topk_detect(outs, self.img_size, k)
-            dets = jax.vmap(partial(suppress, iou_threshold=iou_threshold))(
-                boxes, scores, classes, idx, scores >= conf_threshold
-            )
-            return dets, None, None
-
-        boxes, scores, extras = decode_predictions(outs, self.img_size, task=self.task)
-
-        def one(b, s):
-            conf, cls = best_class(s)
-            return nms(b, conf, cls, conf_threshold, iou_threshold, self.max_detections)
-
-        dets = jax.vmap(one)(boxes, scores)
+        # top-K before the per-anchor decode (same candidates, fewer
+        # full-anchor passes — `decode_topk`), then the fixpoint suppression
+        # directly on the pre-sorted K.  extras come back row-aligned with
+        # the Detections (only the K winners are ever decoded).
+        n_anchors = sum(int(o[0].shape[1] * o[0].shape[2]) for o in outs)
+        k = min(self.max_detections, n_anchors)
+        boxes, scores, classes, idx, extras = decode_topk(
+            outs, self.img_size, k, task=self.task
+        )
+        dets = jax.vmap(partial(suppress, iou_threshold=iou_threshold))(
+            boxes, scores, classes, idx, scores >= conf_threshold
+        )
         return dets, extras, protos
 
     def preprocess(self, frame: np.ndarray):
@@ -165,10 +158,10 @@ class Detector:
             "classes": np.asarray(dets.classes[0])[valid],
         }
         if extras is not None:
-            # per-anchor extras gathered to the KEPT boxes (row i of the
-            # extras output corresponds to row i of out["boxes"])
-            kept = np.asarray(dets.anchor_idx[0])[valid]
-            gathered = np.asarray(extras[0])[kept]
+            # extras rows are candidate-row-aligned with the Detections
+            # (decode_topk), so row i of the gather corresponds to row i of
+            # out["boxes"] directly
+            gathered = np.asarray(extras[0])[valid]
             if self.task == "pose":
                 # ordered tl/tr/br/bl corners unmapped to ORIGINAL frame px —
                 # directly consumable by `stereo_to_3d`/`estimate_3d_pose`

@@ -637,29 +637,37 @@ def decode_predictions(outs, img_size: int, reg_max: int = 16, task: str | None 
     return boxes, scores, extras
 
 
-def decode_topk_detect(outs, img_size: int, k: int, reg_max: int = 16):
-    """Detect-head decode that selects top-K candidates BEFORE the DFL decode.
+def decode_topk(outs, img_size: int, k: int, reg_max: int = 16, task: str | None = None):
+    """Head decode that selects top-K candidates BEFORE the per-anchor decode.
 
-    `decode_predictions` runs the DFL softmax + box assembly over all A
-    anchors (A=8400 at 640 px) and then NMS keeps <=K of them; since
-    ``argmax/max`` over class logits commute with the (monotone) sigmoid, the
-    top-K-by-confidence set is known from the raw logits, so the f32 DFL
-    softmax, the expected-bin reduction and the anchor box assembly need only
-    run on the K winners.  Removes the largest decode passes at every batch
-    size (the latency-regime tail of the detect roofline, docs/PERF.md).
+    `decode_predictions` runs the DFL softmax + box assembly (and the task
+    head's extra decode: pose keypoints, OBB angle, mask coefficients) over
+    all A anchors (A=8400 at 640 px, 21,504 at OBB's 1024 px) and then NMS
+    keeps <=K of them; since ``argmax/max`` over class logits commute with
+    the (monotone) sigmoid, the top-K-by-confidence set is known from the
+    raw logits, so the f32 DFL softmax, the expected-bin reduction, the
+    anchor box assembly and the extras decode need only run on the K
+    winners.  Removes the largest decode passes at every batch size (the
+    latency-regime tail of the detect roofline, docs/PERF.md).
 
-    Returns per-image score-sorted candidates
-    ``(boxes_xyxy (B,K,4), scores (B,K), classes (B,K) i32, idx (B,K) i32)``
-    with ``idx`` indexing the flat anchor axis in `decode_predictions` order —
-    identical candidate set/order as decode_predictions + best_class + top_k.
+    Returns per-image score-sorted candidates ``(boxes_xyxy (B,K,4),
+    scores (B,K), classes (B,K) i32, idx (B,K) i32, extras)`` with ``idx``
+    indexing the flat anchor axis in `decode_predictions` order — identical
+    candidate set/order as decode_predictions + best_class + top_k.
+    ``extras`` rows are ALIGNED with the candidate rows (pose ->
+    ``(B,K,nk,3)`` decoded keypoints, OBB -> ``(B,K)`` angles, segment ->
+    ``(B,K,P)`` mask coefficients, detect -> None), unlike
+    `decode_predictions`' full per-anchor extras.
     """
     anchors, strides = make_anchors(img_size)
-    cls_flat, box_flat = [], []
+    cls_flat, box_flat, extra_flat = [], [], []
     for out in outs:
         box_l, cls_l = out[0], out[1]
         b, h, w, _ = box_l.shape
         cls_flat.append(cls_l.reshape(b, h * w, -1))
         box_flat.append(box_l.reshape(b, h * w, 4 * reg_max))
+        if len(out) == 3:
+            extra_flat.append(out[2].reshape(b, h * w, -1))
     cls_flat = jnp.concatenate(cls_flat, axis=1)   # (B, A, C) raw logits
     box_flat = jnp.concatenate(box_flat, axis=1)   # (B, A, 4*reg_max)
 
@@ -676,7 +684,19 @@ def decode_topk_detect(outs, img_size: int, k: int, reg_max: int = 16):
     boxes = jnp.concatenate([xy1, xy2], axis=-1)
     scores = jax.nn.sigmoid(top_logit.astype(jnp.float32))
     classes = jnp.take_along_axis(cls_idx, top_idx, axis=1)
-    return boxes, scores, classes, top_idx.astype(jnp.int32)
+
+    extras = None
+    if extra_flat:
+        raw = jnp.take_along_axis(
+            jnp.concatenate(extra_flat, axis=1), top_idx[..., None], axis=1
+        )  # (B, K, E) raw head output on the winners only
+        if task == "pose":
+            extras = jax.vmap(decode_keypoints)(raw, anc, stri)   # (B, K, nk, 3)
+        elif raw.shape[-1] == 1:  # OBB: rotation angle in (-pi/4, 3pi/4)
+            extras = (jax.nn.sigmoid(raw[..., 0].astype(jnp.float32)) - 0.25) * math.pi
+        else:  # segment: mask coefficients (B, K, P)
+            extras = raw.astype(jnp.float32)
+    return boxes, scores, classes, top_idx.astype(jnp.int32), extras
 
 
 def fold_batchnorm(params, batch_stats, eps: float = 1e-3):

@@ -325,25 +325,28 @@ def test_nms_chain_unsuppression():
     assert kept == {(0, 0, 10, 10), (12, 0, 22, 10)}
 
 
-def test_decode_topk_path_matches_full_decode():
-    """Detector's detect fast path (top-K before DFL + fixpoint suppression)
-    must produce the identical Detections as the general path
-    (decode_predictions -> best_class -> nms)."""
-    from icp_slam_yolo_tpu.ops.nms import best_class as _bc
-
-    det = Detector(num_classes=2, img_size=SIZE, conf_threshold=0.01,
+@pytest.mark.parametrize("task", ["detect", "obb", "segment", "pose"])
+def test_decode_topk_path_matches_full_decode(task):
+    """Detector's fast path (top-K before the per-anchor decode + fixpoint
+    suppression) must produce the identical Detections as the general path
+    (decode_predictions -> best_class -> nms), and its row-aligned extras
+    must equal the full per-anchor extras gathered at the kept anchors."""
+    det = Detector(num_classes=2, img_size=SIZE, task=task, conf_threshold=0.01,
                    iou_threshold=0.45, max_detections=16, compute_dtype=jnp.float32,
                    fold_bn=False)
     rng = np.random.default_rng(3)
     images = jnp.asarray(rng.uniform(0, 1, (2, SIZE, SIZE, 3)), jnp.float32)
-    fast = det.predict_batch(images)
+    fast, fast_extras, _ = det._predict(
+        det.params, det.batch_stats, images, jnp.float32(0.01), jnp.float32(0.45))
 
     variables = {"params": det.params, "batch_stats": det.batch_stats}
     outs = det.model.apply(variables, images, train=False)
-    boxes, scores, _ = decode_predictions(outs, SIZE)
+    if task == "segment":
+        outs, _protos = outs
+    boxes, scores, ref_extras = decode_predictions(outs, SIZE, task=task)
 
     def one(b, s):
-        conf, cls = _bc(s)
+        conf, cls = best_class(s)
         return nms(b, conf, cls, 0.01, 0.45, 16)
 
     ref = jax.vmap(one)(boxes, scores)
@@ -352,3 +355,13 @@ def test_decode_topk_path_matches_full_decode():
     np.testing.assert_array_equal(np.asarray(fast.classes), np.asarray(ref.classes))
     np.testing.assert_allclose(np.asarray(fast.boxes), np.asarray(ref.boxes), atol=1e-4)
     np.testing.assert_allclose(np.asarray(fast.scores), np.asarray(ref.scores), atol=1e-6)
+    if task == "detect":
+        assert fast_extras is None and ref_extras is None
+        return
+    # extras: fast path decodes winners only; rows align with Detections rows
+    for b in range(2):
+        valid = np.asarray(fast.valid[b])
+        kept_anchor = np.asarray(fast.anchor_idx[b])[valid]
+        got = np.asarray(fast_extras[b])[valid]
+        want = np.asarray(ref_extras[b])[kept_anchor]
+        np.testing.assert_allclose(got, want, atol=1e-5)
