@@ -89,3 +89,47 @@ def icp_debug_view(map_points_xy: np.ndarray, scan_points_xy: np.ndarray, pose_s
         put(np.asarray(scan_points_xy, float).reshape(-1, 2), (0, 255, 0))
     img[size_px // 2 - 2 : size_px // 2 + 3, size_px // 2 - 2 : size_px // 2 + 3] = (255, 0, 0)
     return img
+
+
+def annotate_detections(frame: np.ndarray, detections: dict,
+                        camera_data: dict | None = None) -> np.ndarray:
+    """Draw detection boxes, scores, keypoints and the pallet-alignment
+    readout onto a camera frame.
+
+    Mirrors the reference's operator overlay (`mainn.py:236-248`:
+    cv2.rectangle per box + cv2.putText alignment lines on the stereo frames
+    shown in the display loop, `mainn.py:771-780`) using PIL instead of
+    OpenCV.  ``detections`` is a `Detector.__call__` output dict (``boxes``
+    (N,4) xyxy in frame pixels, ``scores``, ``classes``, optional
+    ``keypoints`` (N,K,3)); ``camera_data`` is the SSE alignment payload
+    ({yaw_deg, distance_mm, lateral_mm, direction}).  Returns a new
+    (H, W, 3) uint8 RGB array.
+    """
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray(np.ascontiguousarray(frame, np.uint8))
+    draw = ImageDraw.Draw(img)
+    boxes = np.asarray(detections.get("boxes", np.zeros((0, 4))), float)
+    scores = np.asarray(detections.get("scores", np.zeros(len(boxes))), float)
+    for box, score in zip(boxes, scores):
+        x0, y0, x1, y1 = (float(v) for v in box[:4])
+        draw.rectangle([x0, y0, x1, y1], outline=(0, 255, 0), width=2)
+        draw.text((x0 + 2, max(0.0, y0 - 12)), f"pallet {score:.2f}", fill=(0, 255, 0))
+    kpts = detections.get("keypoints")
+    if kpts is not None:
+        for inst in np.asarray(kpts, float):
+            for kx, ky, vis in inst:
+                if vis >= 0.5:
+                    draw.ellipse([kx - 3, ky - 3, kx + 3, ky + 3], fill=(255, 0, 255))
+    if camera_data is not None:
+        lines = [
+            f"dist {camera_data['distance_mm']:.0f} mm",
+            f"yaw {camera_data['yaw_deg']:.1f} deg",
+            f"lateral {camera_data['lateral_mm']:.0f} mm",
+            {-1: "<< steer left", 0: "aligned", 1: "steer right >>"}.get(
+                int(camera_data.get("direction", 0)), ""),
+        ]
+        draw.rectangle([4, 4, 150, 8 + 13 * len(lines)], fill=(0, 0, 0))
+        for i, line in enumerate(lines):
+            draw.text((8, 6 + 13 * i), line, fill=(255, 255, 0))
+    return np.asarray(img)

@@ -625,7 +625,9 @@ def decode_predictions(outs, img_size: int, reg_max: int = 16, task: str | None 
             extra = out[2]
             if task == "pose":  # keypoints (B, A, K, 3)
                 extras_l.append(decode_keypoints(extra.reshape(b, n, -1), anc, stri))
-            elif extra.shape[-1] == 1:  # OBB: rotation angle in (-pi/4, 3pi/4)
+            elif task == "obb" or (task is None and extra.shape[-1] == 1):
+                # OBB rotation angle in (-pi/4, 3pi/4); explicit task wins,
+                # channel-count check only as the task-less fallback
                 extras_l.append(
                     (jax.nn.sigmoid(extra.reshape(b, n).astype(jnp.float32)) - 0.25) * math.pi
                 )
@@ -671,9 +673,14 @@ def decode_topk(outs, img_size: int, k: int, reg_max: int = 16, task: str | None
     cls_flat = jnp.concatenate(cls_flat, axis=1)   # (B, A, C) raw logits
     box_flat = jnp.concatenate(box_flat, axis=1)   # (B, A, 4*reg_max)
 
-    conf_logit = jnp.max(cls_flat, axis=-1)                       # (B, A)
-    cls_idx = jnp.argmax(cls_flat, axis=-1).astype(jnp.int32)     # (B, A)
-    top_logit, top_idx = jax.lax.top_k(conf_logit, k)             # (B, K)
+    # rank in f32 sigmoid space exactly like decode_predictions + best_class
+    # + top_k: a bf16-logit ranking can disagree under sigmoid saturation
+    # (logit > ~17 -> prob 1.0 ties that f32 probs tie but bf16 logits don't)
+    # or exact logit ties, changing which box survives NMS (ADVICE r4)
+    probs = jax.nn.sigmoid(cls_flat.astype(jnp.float32))          # (B, A, C)
+    conf = jnp.max(probs, axis=-1)                                # (B, A)
+    cls_idx = jnp.argmax(probs, axis=-1).astype(jnp.int32)        # (B, A)
+    top_conf, top_idx = jax.lax.top_k(conf, k)                    # (B, K)
 
     box_logits_k = jnp.take_along_axis(box_flat, top_idx[..., None], axis=1)
     ltrb = dfl_decode(box_logits_k, reg_max)                      # (B, K, 4)
@@ -682,7 +689,7 @@ def decode_topk(outs, img_size: int, k: int, reg_max: int = 16, task: str | None
     xy1 = anc - ltrb[..., :2] * stri[..., None]
     xy2 = anc + ltrb[..., 2:] * stri[..., None]
     boxes = jnp.concatenate([xy1, xy2], axis=-1)
-    scores = jax.nn.sigmoid(top_logit.astype(jnp.float32))
+    scores = top_conf
     classes = jnp.take_along_axis(cls_idx, top_idx, axis=1)
 
     extras = None
@@ -692,7 +699,11 @@ def decode_topk(outs, img_size: int, k: int, reg_max: int = 16, task: str | None
         )  # (B, K, E) raw head output on the winners only
         if task == "pose":
             extras = jax.vmap(decode_keypoints)(raw, anc, stri)   # (B, K, nk, 3)
-        elif raw.shape[-1] == 1:  # OBB: rotation angle in (-pi/4, 3pi/4)
+        elif task == "obb" or (task is None and raw.shape[-1] == 1):
+            # OBB: rotation angle in (-pi/4, 3pi/4).  Branch on the task when
+            # given — a segment head with P=1 mask coefficient would otherwise
+            # be silently decoded as an angle (ADVICE r4); the shape check is
+            # only the task-less fallback.
             extras = (jax.nn.sigmoid(raw[..., 0].astype(jnp.float32)) - 0.25) * math.pi
         else:  # segment: mask coefficients (B, K, P)
             extras = raw.astype(jnp.float32)

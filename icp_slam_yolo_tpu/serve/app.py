@@ -10,6 +10,10 @@ Flask dependency (stdlib ``ThreadingHTTPServer``):
   GET  /video_feed            multipart JSON frames of current scan points
                               (`mainn.py:567-582`)
   GET  /map_image             current occupancy rendering as PNG (`mainn.py:584`)
+  GET  /camera_feed?eye=0|1   MJPEG stream of annotated stereo detection frames
+                              (reference overlay `mainn.py:236-248`, shown via
+                              the display loop `mainn.py:771-780`)
+  GET  /camera_image?eye=0|1  latest annotated frame as one JPEG (404 if none)
   GET  /map_viewer            deep-zoom tiled map viewer (reference:
                               OpenSeadragon in `templates/jjj.html:9,150`;
                               here a dependency-free canvas client)
@@ -90,7 +94,11 @@ _INDEX_HTML = """<!doctype html>
 <div id="main">
  <div id="stats">pose: &mdash; | distance: &mdash; | rmse: &mdash;</div>
  <canvas id="map" width="1000" height="700"></canvas>
- <img id="icp" width="280" height="280" style="vertical-align:top;border:1px solid #444" title="ICP debug view">
+ <div style="display:inline-block;vertical-align:top">
+  <img id="icp" width="280" height="280" style="display:block;border:1px solid #444" title="ICP debug view">
+  <img id="cam0" width="280" style="display:block;border:1px solid #444;margin-top:4px" title="left camera (annotated detections)" src="/camera_feed?eye=0">
+  <img id="cam1" width="280" style="display:block;border:1px solid #444;margin-top:4px" title="right camera (annotated detections)" src="/camera_feed?eye=1">
+ </div>
 </div>
 <script>
 const canvas = document.getElementById('map'), ctx = canvas.getContext('2d');
@@ -411,6 +419,15 @@ def make_handler(state: ServerState):
                 self._bytes(state.map_tile_png(z, tx, ty), "image/png")
             elif path == "/icp_image":
                 self._bytes(state.icp_view_png_bytes(), "image/png")
+            elif path == "/camera_image":
+                eye = int((q.get("eye") or ["0"])[0]) if (q.get("eye") or ["0"])[0] in ("0", "1") else 0
+                jpeg = state.camera_frame_jpeg(eye)
+                if jpeg is None:
+                    return self._json({"status": "error", "message": "no camera frame yet"}, 404)
+                self._bytes(jpeg, "image/jpeg")
+            elif path == "/camera_feed":
+                eye = int((q.get("eye") or ["0"])[0]) if (q.get("eye") or ["0"])[0] in ("0", "1") else 0
+                self._camera_feed(eye)
             elif path == "/landmarks":
                 self._json({"landmarks": state.landmark_markers()})
             elif path == "/save_map":
@@ -528,6 +545,32 @@ def make_handler(state: ServerState):
                         self.wfile.write(f"data: {json.dumps(payload)}\n\n".encode())
                         self.wfile.flush()
                     time.sleep(0.1)  # `mainn.py:639`
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+
+        def _camera_feed(self, eye: int):
+            """MJPEG stream of the latest annotated stereo frame for one eye —
+            the reference's live detection display (`mainn.py:771-780`), made
+            a browser surface.  Pushes only when the camera worker has
+            produced a NEW frame (seq counter), at most ~10 Hz like the
+            reference's camera loop (`mainn.py:145-176`)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "multipart/x-mixed-replace; boundary=frame")
+            self.end_headers()
+            last_seq = -1
+            try:
+                while not state.stopped.is_set():
+                    with state.lock:
+                        seq = state.camera_frame_seq
+                        jpeg = state.last_annotated_jpeg[eye] if seq != last_seq else None
+                    if jpeg is not None:
+                        last_seq = seq
+                        self.wfile.write(
+                            b"--frame\r\nContent-Type: image/jpeg\r\nContent-Length: "
+                            + str(len(jpeg)).encode() + b"\r\n\r\n" + jpeg + b"\r\n"
+                        )
+                        self.wfile.flush()
+                    time.sleep(0.1)
             except (BrokenPipeError, ConnectionResetError):
                 pass
 

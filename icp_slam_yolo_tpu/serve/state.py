@@ -45,6 +45,11 @@ class ServerState:
         self.last_scan_points_px: list[tuple[int, int]] = []
         self.last_scan_sensor = np.zeros((0, 2))
         self.last_camera_data: dict | None = None
+        # latest annotated stereo JPEGs [left, right] + a sequence counter so
+        # /camera_feed only pushes genuinely new frames (`mainn.py:771-780`
+        # display loop equivalent)
+        self.last_annotated_jpeg: list[bytes | None] = [None, None]
+        self.camera_frame_seq = 0
         self.landmarks = None  # lazily created LandmarkMap
         self._camera_worker = None
         self._thread: threading.Thread | None = None
@@ -125,15 +130,25 @@ class ServerState:
             self.last_scan_sensor = pts
             world = se2_apply(np.asarray(pose, float), pts)
             self.last_scan_points_px = [self.world_to_px(p[0], p[1]) for p in world]
+            self._update_target_distance(pose)
+        return out
+
+    def _update_target_distance(self, pose=None) -> None:
+        """Refresh distance-to-target + the camera trigger (within 1 m of the
+        target, `mainn.py:376-379`).  Called from `feed_scan` per scan AND from
+        the camera trigger-sync loop so a target set after the scan stream
+        ends still fires the camera.  Caller must hold the lock or pass a
+        snapshot pose."""
+        with self.lock:
+            if pose is None:
+                pose = self.engine.pose
             if self.active_target is not None:
                 tx, ty = self.active_target["pos_mm"]
                 self.distance_to_target = math.hypot(tx - pose[0], ty - pose[1])
-                # camera trigger within 1 m of target (`mainn.py:376-379`)
                 self.camera_trigger = self.distance_to_target < CAMERA_TRIGGER_DISTANCE_MM
             else:
                 self.distance_to_target = None
                 self.camera_trigger = False
-        return out
 
     def warmup(self, detector=None) -> None:
         """Precompile the hot paths before serving: the first jit compile
@@ -286,6 +301,9 @@ class ServerState:
             out1 = detector(f1)
             out2 = detector(f2)
             if not len(out1["boxes"]) or not len(out2["boxes"]):
+                # no pallet in one eye: still publish the (box-annotated) raw
+                # frames so the operator sees what the camera sees
+                self._publish_annotated((f1, out1), (f2, out2), None)
                 return
             kpts_ok = (
                 "keypoints" in out1 and "keypoints" in out2
@@ -306,17 +324,19 @@ class ServerState:
             from icp_slam_yolo_tpu.perception.stereo import pallet_alignment
 
             align = pallet_alignment(c1, c2)
+            camera_data = {
+                "yaw_deg": round(float(_np.rad2deg(align.yaw_rad)), 2),
+                "distance_mm": round(float(align.distance_mm), 1),
+                "lateral_mm": round(float(align.lateral_offset_mm), 1),
+                "direction": int(align.direction),
+            }
             with self.lock:
                 pose = tuple(map(float, self.engine.pose))
-                self.last_camera_data = {
-                    "yaw_deg": round(float(_np.rad2deg(align.yaw_rad)), 2),
-                    "distance_mm": round(float(align.distance_mm), 1),
-                    "lateral_mm": round(float(align.lateral_offset_mm), 1),
-                    "direction": int(align.direction),
-                }
+                self.last_camera_data = camera_data
                 self.landmarks.insert(
                     project_detection(pose, c1, c2, score=float(out1["scores"][0]), alignment=align)
                 )
+            self._publish_annotated((f1, out1), (f2, out2), camera_data)
 
         worker = TriggeredCameraWorker(stereo, trigger, self.stopped, on_pair, poll_s)
         worker.start()
@@ -324,6 +344,12 @@ class ServerState:
 
         def trigger_sync():  # mirror the SLAM-side flag into the worker event
             while not self.stopped.is_set():
+                # re-evaluate distance when a target exists, so a target set
+                # while no scans are flowing (e.g. replay finished) still
+                # fires the camera; without a target, leave the flag to
+                # feed_scan / manual control
+                if self.active_target is not None:
+                    self._update_target_distance()
                 if self.camera_trigger:
                     trigger.set()
                 else:
@@ -331,6 +357,35 @@ class ServerState:
                 time.sleep(poll_s)
 
         threading.Thread(target=trigger_sync, daemon=True).start()
+
+    def _publish_annotated(self, eye0, eye1, camera_data: dict | None) -> None:
+        """Render the operator overlay onto both stereo frames and retain them
+        as JPEGs for `/camera_feed` — the reference's annotated display frames
+        (`mainn.py:236-248` box + alignment overlay, shown via the queue +
+        display loop at `mainn.py:771-780`)."""
+        import io as _io
+
+        from PIL import Image
+
+        from icp_slam_yolo_tpu.io.render import annotate_detections
+
+        jpegs = []
+        for frame, dets in (eye0, eye1):
+            img = annotate_detections(frame, dets, camera_data)
+            buf = _io.BytesIO()
+            Image.fromarray(img).save(buf, format="JPEG", quality=85)
+            jpegs.append(buf.getvalue())
+        with self.lock:
+            self.last_annotated_jpeg = jpegs
+            self.camera_frame_seq += 1
+
+    def camera_frame_jpeg(self, eye: int) -> bytes | None:
+        """Latest annotated frame for one eye (0=left, 1=right), or None if
+        the camera worker hasn't produced a frame yet."""
+        with self.lock:
+            if eye not in (0, 1):
+                return None
+            return self.last_annotated_jpeg[eye]
 
     def landmark_markers(self) -> list[dict]:
         with self.lock:

@@ -156,3 +156,65 @@ def test_fused_loop_real_checkpoint_real_images(scan_sequence):
     assert abs(cd["yaw_deg"]) < 90.0
     marks = state.landmark_markers()
     assert len(marks) >= 1 and marks[0]["n_obs"] >= 1
+
+
+def test_camera_feed_serves_annotated_frame(stereo, scan_sequence):
+    """VERDICT r4 #1: the operator can SEE what the detector sees — a
+    ReplayCamera-backed worker publishes annotated JPEGs and the
+    /camera_image + /camera_feed routes serve them while the trigger is set
+    (reference: overlay `mainn.py:236-248`, display loop `mainn.py:771-780`)."""
+    import io
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from icp_slam_yolo_tpu.serve.app import make_server
+
+    state = ServerState(CFG, work_dir=".")
+    state.feed_scan(scan_sequence[0])
+    state.attach_camera(FakeStereoDetector(), stereo, poll_s=0.02)
+    srv = make_server(state, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        # before any frame: 404
+        try:
+            urllib.request.urlopen(base + "/camera_image?eye=0", timeout=10)
+            assert False, "expected 404 before first frame"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        state.camera_trigger = True
+        deadline = time.time() + 5
+        while state.camera_frame_seq == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert state.camera_frame_seq > 0, "camera worker never published a frame"
+
+        for eye in (0, 1):
+            with urllib.request.urlopen(base + f"/camera_image?eye={eye}", timeout=10) as r:
+                assert r.status == 200 and r.headers["Content-Type"] == "image/jpeg"
+                img = np.asarray(Image.open(io.BytesIO(r.read())))
+        assert img.shape == (480, 640, 3)
+        # annotation drew green boxes + yellow alignment text on a black frame
+        assert img.sum() > 0
+
+        # the MJPEG stream yields a decodable part with the same boundary framing
+        with urllib.request.urlopen(base + "/camera_feed?eye=0", timeout=10) as r:
+            assert r.headers["Content-Type"].startswith("multipart/x-mixed-replace")
+            head = r.readline()
+            assert head.strip() == b"--frame"
+            hdrs = {}
+            while True:
+                line = r.readline().strip()
+                if not line:
+                    break
+                k, v = line.split(b":", 1)
+                hdrs[k.strip().lower()] = v.strip()
+            jpeg = r.read(int(hdrs[b"content-length"]))
+            frame = np.asarray(Image.open(io.BytesIO(jpeg)))
+            assert frame.shape == (480, 640, 3) and frame.sum() > 0
+    finally:
+        state.stopped.set()
+        srv.shutdown()
