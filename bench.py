@@ -461,6 +461,53 @@ def bench_fleet_matched_single(n_scans: int = 300) -> float:
     return len(scans) / max(t - base, 1e-9)
 
 
+# Physical upper bounds per reading — ~3x each metric's architecture roof
+# (VERDICT r4 weak #1: a content-cache artifact once shipped 4.8e10 "ticks/s"
+# in BENCH_DETAIL.json).  Rationale per row:
+#   * detect @640 bf16 is HBM-bound; the perfect-epilogue-fusion roof is
+#     ~12,059 FPS (scripts/detect_roofline.py, docs/roofline_detect.json), so
+#     >36k FPS cannot be a real reading.  A fused/detect tick runs a stereo
+#     PAIR (2 frames) -> ticks roof ~6k, bound 18k.  Trigger-faithful
+#     every-5th amortizes 4 slam-only ticks per detect -> bound 5x higher.
+#   * one SLAM scan step is >=2 full-map NN passes + raster; best measured
+#     ~4,300 scans/s on one stream -> 20k bound (fleet: 8 streams -> 160k).
+#   * a 16x640px train step is ~3 fwd-equivalents of detect-b16 work.
+#   * one registration >= ~20 GN iterations over a 500x1500 NN (~120 MFLOP)
+#     -> sub-us is impossible even at MXU peak; 1M reg/s bound.
+_PLAUSIBILITY_BOUNDS = {
+    "icp_registrations_per_sec": 1_000_000.0,
+    "sequence_scans_per_sec": 20_000.0,
+    "sequence_scans_per_sec_offline_preset": 20_000.0,
+    "sequence_scans_per_sec_realtime_preset": 20_000.0,
+    "detect_fps_640": 36_000.0,
+    "detect_fps_640_b128": 36_000.0,
+    "fleet_scans_per_sec": 160_000.0,
+    "fused_ticks_per_sec": 18_000.0,
+    "fused_ticks_per_sec_triggered": 90_000.0,
+    "fused_slam_only_ticks_per_sec": 20_000.0,
+    "fused_detect_b2_only_ticks_per_sec": 18_000.0,
+    "train_steps_per_sec_b16_640": 1_000.0,
+    "train_steps_per_sec_f32_b16_640": 1_000.0,
+}
+
+
+def _guard_implausible(detail: dict) -> dict:
+    """Refuse to persist readings beyond their physical bound: move them to
+    an ``implausible_readings`` sub-dict (value + bound) and null the metric
+    so a cache artifact can never masquerade as a result."""
+    bad = {}
+    for name, bound in _PLAUSIBILITY_BOUNDS.items():
+        v = detail.get(name)
+        if isinstance(v, (int, float)) and v > bound:
+            print(f"# IMPLAUSIBLE {name}={v:.1f} exceeds bound {bound:.0f} "
+                  f"(relay content-cache artifact?) — not persisted", file=sys.stderr)
+            bad[name] = {"value": v, "bound": bound}
+            detail[name] = None
+    if bad:
+        detail["implausible_readings"] = bad
+    return detail
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -472,6 +519,13 @@ def main():
     src, tgt = _load_pair()
     base = bench_baseline(src, tgt)
     ours = bench_tpu(src, tgt)
+    if ours > _PLAUSIBILITY_BOUNDS["icp_registrations_per_sec"]:
+        # beyond the physical roof = the relay replayed a cached execution;
+        # one retry with a fresh salt, then fail loudly rather than publish
+        print(f"# IMPLAUSIBLE primary reading {ours:.1f} reg/s — retrying once", file=sys.stderr)
+        ours = bench_tpu(src, tgt)
+        if ours > _PLAUSIBILITY_BOUNDS["icp_registrations_per_sec"]:
+            raise SystemExit(f"primary benchmark implausible after retry: {ours:.1f} reg/s")
     pair_ms, pair_fixed_ms = bench_single_pair(src, tgt)
 
     secondary = {
@@ -546,10 +600,9 @@ def main():
         import os
 
         detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        detail = _guard_implausible({"icp_registrations_per_sec": round(ours, 1), **secondary})
         with open(detail_path, "w") as f:
-            json.dump(
-                {"icp_registrations_per_sec": round(ours, 1), **secondary}, f, indent=2
-            )
+            json.dump(detail, f, indent=2)
         print(f"# wrote {detail_path}", file=sys.stderr)
 
     # ONE JSON line (driver contract); secondary numbers ride along as a

@@ -303,6 +303,21 @@ def cmd_label_check(args):
         sys.exit(1)
 
 
+def cmd_labeler(args):
+    """Launch the web labeler (the reference's OpenCV labeling tools,
+    `labels_segmentation/labels_segmentation*.py`, as a browser UI)."""
+    from icp_slam_yolo_tpu.data.labeler import LabelSession
+    from icp_slam_yolo_tpu.serve.labeler_app import serve_labeler
+
+    session = LabelSession(args.image_dir, args.out_dir, classes=args.classes)
+    detector = None
+    if args.weights:
+        from icp_slam_yolo_tpu.models.detect import detector_from_checkpoint
+
+        detector = detector_from_checkpoint(args.weights)
+    serve_labeler(session, detector, host=args.host, port=args.port)
+
+
 def cmd_split(args):
     from icp_slam_yolo_tpu.data.split import split_dataset
 
@@ -417,6 +432,15 @@ def main(argv=None):
     lc.add_argument("directory")
     lc.add_argument("--fix", action="store_true")
     lc.set_defaults(fn=cmd_label_check)
+
+    lb = sub.add_parser("labeler", help="web labeler (polygon + paintbrush + YOLO-assist)")
+    lb.add_argument("image_dir")
+    lb.add_argument("--out-dir", default="labels_out")
+    lb.add_argument("--classes", nargs="+", default=["pallet"])
+    lb.add_argument("--weights", default=None, help="detector checkpoint for auto-label")
+    lb.add_argument("--host", default="0.0.0.0")
+    lb.add_argument("--port", type=int, default=5001)
+    lb.set_defaults(fn=cmd_labeler)
 
     sp = sub.add_parser("split", help="train/val dataset split")
     sp.add_argument("source")

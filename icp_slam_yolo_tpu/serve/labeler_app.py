@@ -11,6 +11,14 @@ class sidebar, YOLO-assist keys) with an HTTP surface:
   POST /label/nav             {dir: +1/-1} (refused while any polygon unlabeled)
   POST /label/save            write the three label formats + review CSV
   POST /label/auto            YOLO-assist ('s' key) when a detector is attached
+  POST /label/mask/start      {width?, height?} begin a paint mask (defaults to
+                              the current image size)
+  POST /label/mask/paint      {points: [[x,y],...], brush, shape, erase} apply
+                              a brush stroke (one call per drag segment batch)
+  GET  /label/mask            current mask as PNG (white = painted)
+  POST /label/mask/commit     {label?, min_area?} -> contours -> polygons
+                              (the reference's brush draw/erase -> findContours
+                              flow, `labels_segmentation_ver_2.py`)
   GET  /label/coords          click-to-print pixel coordinates page
   POST /label/click           {x, y} -> echoed to the server console as
                               "[x, y]," (`labels_segmentation/lay_diem.py` parity)
@@ -37,18 +45,75 @@ canvas{border:1px solid #555;cursor:crosshair}button{margin:.15rem}</style></hea
 <button onclick="auto()">auto-label</button>
 <span id="classes"></span>
 </div>
+<div>
+<button id="brushBtn" onclick="toggleBrush()">brush: off</button>
+<label>size <input id="brushSize" type="range" min="4" max="60" value="16"></label>
+<select id="brushShape"><option>circle</option><option>square</option></select>
+<label><input id="erase" type="checkbox"> erase</label>
+<select id="maskClass"></select>
+<button onclick="commitMask()">mask &rarr; polygons</button>
+</div>
 <canvas id="cv"></canvas>
 <script>
 let state=null, draft=[], img=new Image();
 const cv=document.getElementById('cv'), ctx=cv.getContext('2d');
+// --- paintbrush mode (reference: labels_segmentation_ver_2.py brush flow) --
+let brush=false, painting=false, strokeBuf=[];
+function toggleBrush(){
+  brush=!brush;
+  document.getElementById('brushBtn').textContent='brush: '+(brush?'on':'off');
+  if(brush) fetch('/label/mask/start',{method:'POST',body:'{}'});
+  draw();
+}
+function brushParams(){
+  return {brush:+document.getElementById('brushSize').value,
+          shape:document.getElementById('brushShape').value,
+          erase:document.getElementById('erase').checked};
+}
+async function flushStroke(){
+  if(!strokeBuf.length) return;
+  const pts=strokeBuf; strokeBuf=[];
+  await fetch('/label/mask/paint',{method:'POST',
+    body:JSON.stringify({points:pts,...brushParams()})});
+}
+function paintLocal(x,y){
+  const p=brushParams(), r=p.brush/2;
+  ctx.fillStyle=p.erase?'rgba(0,0,255,.5)':'rgba(255,0,0,.5)';
+  if(p.shape==='circle'){ctx.beginPath();ctx.arc(x,y,r,0,7);ctx.fill();}
+  else ctx.fillRect(x-r,y-r,p.brush,p.brush);
+}
+cv.addEventListener('pointerdown',e=>{
+  if(!brush) return; painting=true; cv.setPointerCapture(e.pointerId);
+  const r=cv.getBoundingClientRect();
+  const x=e.clientX-r.left, y=e.clientY-r.top;
+  strokeBuf.push([x,y]); paintLocal(x,y);
+});
+cv.addEventListener('pointermove',e=>{
+  if(!brush||!painting) return;
+  const r=cv.getBoundingClientRect();
+  const x=e.clientX-r.left, y=e.clientY-r.top;
+  strokeBuf.push([x,y]); paintLocal(x,y);
+  if(strokeBuf.length>=24) flushStroke();
+});
+cv.addEventListener('pointerup',()=>{ if(painting){painting=false; flushStroke();} });
+async function commitMask(){
+  await flushStroke();
+  const label=document.getElementById('maskClass').value||null;
+  const r=await (await fetch('/label/mask/commit',
+    {method:'POST',body:JSON.stringify({label})})).json();
+  if(r.error) alert(r.error);
+  else { alert('added '+r.added+' polygons'); if(brush) toggleBrush(); refresh(); }
+}
 async function refresh(){
   state = await (await fetch('/label/state')).json();
   document.getElementById('title').textContent =
     `${state.image_name} (${state.index+1}/${state.total})`;
   const span=document.getElementById('classes'); span.innerHTML='';
+  const sel=document.getElementById('maskClass'); sel.innerHTML='';
   for(const c of state.classes){
     const b=document.createElement('button'); b.textContent='label: '+c;
     b.onclick=()=>labelLast(c); span.appendChild(b);
+    const o=document.createElement('option'); o.textContent=c; sel.appendChild(o);
   }
   img = new Image();
   img.onload = ()=>{cv.width=img.width; cv.height=img.height; draw();};
@@ -68,6 +133,7 @@ function draw(){
   draft.forEach(([x,y],i)=> i?ctx.lineTo(x,y):ctx.moveTo(x,y)); ctx.stroke();
 }
 cv.onclick=(e)=>{
+  if(brush) return;   // brush strokes handle their own pointer events
   const r=cv.getBoundingClientRect();
   draft.push([e.clientX-r.left, e.clientY-r.top]); draw();
 };
@@ -169,6 +235,23 @@ def make_labeler_handler(session, detector=None):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif path == "/label/mask":
+                import io as _io
+
+                import numpy as np
+                from PIL import Image
+
+                m = getattr(session, "_mask", None)
+                if m is None:
+                    return self._json({"error": "no active mask"}, 404)
+                buf = _io.BytesIO()
+                Image.fromarray((np.asarray(m) * 255).astype(np.uint8), "L").save(buf, "PNG")
+                data = buf.getvalue()
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
             elif path.startswith("/label/image"):
                 with open(session.images[session.index], "rb") as f:
                     data = f.read()
@@ -209,6 +292,36 @@ def make_labeler_handler(session, detector=None):
                 self._json({"ok": ok})
             elif path == "/label/save":
                 self._json({"ok": True, "saved": session.save_labels()})
+            elif path == "/label/mask/start":
+                data = self._body()
+                if "width" in data and "height" in data:
+                    w, h = int(data["width"]), int(data["height"])
+                else:
+                    from PIL import Image
+
+                    w, h = Image.open(session.images[session.index]).size
+                session.new_mask(w, h)
+                self._json({"ok": True, "width": w, "height": h})
+            elif path == "/label/mask/paint":
+                if getattr(session, "_mask", None) is None:
+                    return self._json({"error": "no active mask"}, 400)
+                data = self._body()
+                brush = int(data.get("brush", 10))
+                shape = data.get("shape", "square")
+                erase = bool(data.get("erase", False))
+                pts = data.get("points") or []
+                for x, y in pts:
+                    session.paint(int(x), int(y), brush, shape, erase)
+                self._json({"ok": True, "applied": len(pts)})
+            elif path == "/label/mask/commit":
+                if getattr(session, "_mask", None) is None:
+                    return self._json({"error": "no active mask"}, 400)
+                data = self._body()
+                n = session.mask_to_polygons(
+                    label=data.get("label"), min_area=int(data.get("min_area", 20))
+                )
+                session._mask = None  # one commit per paint session
+                self._json({"ok": True, "added": n})
             elif path == "/label/auto":
                 if detector is None:
                     self._json({"error": "no detector attached"}, 400)
