@@ -29,9 +29,18 @@ def detector_from_checkpoint(
     (task/family/variant/n_kpt/img_size/num_classes) — loading an OBB, segment
     or pose checkpoint must instantiate the matching head, not the default
     detect head."""
-    from icp_slam_yolo_tpu.io.checkpoint import load_checkpoint
+    if path.endswith(".pt"):
+        # Ultralytics torch checkpoint (`train2/args.yaml:3` yolo12n.pt-style):
+        # name-mapped import, v8-family layouts only (io/torch_import.py)
+        from icp_slam_yolo_tpu.io.torch_import import load_ultralytics_pt
 
-    payload, _, meta = load_checkpoint(path)
+        params, batch_stats = load_ultralytics_pt(path)
+        payload = {"params": params, "batch_stats": batch_stats}
+        meta = {"family": "v8", "task": "detect"}
+    else:
+        from icp_slam_yolo_tpu.io.checkpoint import load_checkpoint
+
+        payload, _, meta = load_checkpoint(path)
     return Detector(
         num_classes=meta.get("num_classes", 1),
         variant=meta.get("variant", "n"),

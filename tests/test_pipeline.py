@@ -4,6 +4,7 @@ integration test, SURVEY.md section 4)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from icp_slam_yolo_tpu.config import SlamConfig
 from icp_slam_yolo_tpu.io import scans as scans_io
@@ -14,6 +15,8 @@ from icp_slam_yolo_tpu.slam.api import Slam
 CFG = SlamConfig(map_capacity=4096)
 
 
+@pytest.mark.slow  # >90 s integration/parity job; the full-replay quality gate
+# (scripts/quality_check.py) covers the same property on the complete dataset
 def test_run_sequence_matches_oracle(scan_sequence):
     """f32 compiled pipeline vs float64 NumPy oracle, 200-scan prefix.
 
@@ -133,6 +136,8 @@ def test_reseed_recovers_from_poisoned_seed():
     np.testing.assert_array_equal(acc, oacc)
 
 
+@pytest.mark.slow  # >90 s integration/parity job; the full-replay quality gate
+# (scripts/quality_check.py) covers the same property on the complete dataset
 def test_windowed_prune_matches_full_grid(scan_sequence):
     """`prune_window_margin_px`: occupancy only mutates inside the raster
     window and offline prunes every accepted step, so a margined window check

@@ -68,6 +68,8 @@ def real_scans():
     return np.asarray(scans)
 
 
+@pytest.mark.slow  # >90 s integration/parity job; the full-replay quality gate
+# (scripts/quality_check.py) covers the same property on the complete dataset
 def test_shared_fleet_tracks_like_sequential(real_scans):
     cfg = _cfg()
     # interleave: robot A gets even scans, robot B odd — both must rely on the
