@@ -1,0 +1,76 @@
+"""Correctness of the fused conv+bias+SiLU Pallas kernels vs the XLA op.
+
+Runs in interpret mode on the CPU test backend; the TPU-compiled path is
+exercised by scripts/conv_fused_ab.py (which also A/Bs performance).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icp_slam_yolo_tpu.ops.pallas import conv_fused
+
+
+def _xla_ref(x, w, b):
+    y = jnp.einsum("bhwc,co->bhwo", x.astype(jnp.float32), w.astype(jnp.float32))
+    return jax.nn.silu(y + b.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("cin,cout", [(32, 32), (64, 32), (16, 48)])
+def test_conv1x1_silu_matches_xla(cin, cout):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
+    got = conv_fused.conv1x1_silu(x, w, b, tile_m=128, interpret=True)
+    want = _xla_ref(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_conv1x1_silu_bf16_close():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 8, 32, 32)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((32, 32)) * 0.1, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((32,)) * 0.1, jnp.bfloat16)
+    got = np.asarray(conv_fused.conv1x1_silu(x, w, b, tile_m=64, interpret=True),
+                     np.float32)
+    want = np.asarray(_xla_ref(x, w, b), np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+def _xla_conv3(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.nn.silu(y + b.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("cin,cout,hw", [(16, 16, 32), (64, 64, 16), (128, 128, 8)])
+def test_conv3x3_silu_matches_xla(cin, cout, hw):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
+    got = conv_fused.conv3x3_silu(x, w, b, tile_h=8, interpret=True)
+    want = _xla_conv3(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_conv3x3_silu_single_tile():
+    # one row-tile: both y-halos are the zero edge case
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 8, 16, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.1, jnp.float32)
+    b = jnp.zeros((16,), jnp.float32)
+    got = conv_fused.conv3x3_silu(x, w, b, tile_h=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla_conv3(x, w, b)),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pack_group():
+    assert conv_fused._pack_group(32, 32) == 4
+    assert conv_fused._pack_group(16, 32) == 8
+    assert conv_fused._pack_group(128, 128) == 1
+    assert conv_fused._pack_group(48, 32) == 8  # lcm(8/3... -> 8)
