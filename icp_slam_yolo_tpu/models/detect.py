@@ -24,6 +24,7 @@ def detector_from_checkpoint(
     compute_dtype=jnp.bfloat16,
     img_size: int | None = None,
     fold_bn: bool = True,
+    pallas_convs: bool = False,
 ) -> "Detector":
     """Build a ``Detector`` from a checkpoint, honouring its metadata
     (task/family/variant/n_kpt/img_size/num_classes) — loading an OBB, segment
@@ -53,6 +54,7 @@ def detector_from_checkpoint(
         params=payload,
         compute_dtype=compute_dtype,
         fold_bn=fold_bn,
+        pallas_convs=pallas_convs,
     )
 
 
@@ -78,6 +80,10 @@ class Detector:
         # one HBM round trip fewer per block (XLA measurably does not fuse
         # the BN chain into the conv — scripts/detect_roofline.py).  Pass
         # False to run the training-shaped graph.
+        pallas_convs: bool = False,  # run folded 1x1/3x3-s1 ConvBnActs as
+        # fused Pallas conv+bias+SiLU kernels (ops/pallas/conv_fused.py);
+        # A/B-gated default, see docs/PERF.md "conv fusion" and
+        # scripts/conv_fused_ab.py before flipping this on
     ):
         self.model = YOLO(num_classes=num_classes, variant=variant, task=task, family=family,
                           n_kpt=n_kpt, compute_dtype=compute_dtype, fold_bn=fold_bn)
@@ -98,11 +104,22 @@ class Detector:
                 from icp_slam_yolo_tpu.models.yolo import fold_batchnorm
 
                 self.params, self.batch_stats = fold_batchnorm(self.params, self.batch_stats)
+        self.pallas_convs = pallas_convs and fold_bn
         self._predict = jax.jit(partial(self._predict_impl))
+
+    def _apply_model(self, variables, images):
+        if self.pallas_convs:
+            import flax.linen as nn
+
+            from icp_slam_yolo_tpu.ops.pallas.conv_fused import pallas_cba_interceptor
+
+            with nn.intercept_methods(pallas_cba_interceptor):
+                return self.model.apply(variables, images, train=False)
+        return self.model.apply(variables, images, train=False)
 
     def _predict_impl(self, params, batch_stats, images, conf_threshold, iou_threshold):
         variables = {"params": params, "batch_stats": batch_stats}
-        outs = self.model.apply(variables, images, train=False)
+        outs = self._apply_model(variables, images)
         protos = None
         if self.task == "segment":
             outs, protos = outs  # (head outputs, (B, Hp, Wp, P) mask bases)

@@ -48,6 +48,11 @@ def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref):
     o_ref[:] = (acc * jax.nn.sigmoid(acc)).astype(o_ref.dtype)
 
 
+def _auto_interpret(interpret: bool) -> bool:
+    """Pallas interpret mode on the CPU test backend, compiled on TPU."""
+    return interpret or jax.default_backend() == "cpu"
+
+
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
 def conv1x1_silu(x, w, b, tile_m: int = 1024, interpret: bool = False):
     """``silu(x @ w + b)`` over the channel axis of an NHWC tensor, one kernel.
@@ -82,7 +87,7 @@ def conv1x1_silu(x, w, b, tile_m: int = 1024, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((tile_m, g * cout), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=_auto_interpret(interpret),
     )(xf, wk, bk)
     return out.reshape(bsz, h, wd, cout)
 
@@ -190,12 +195,45 @@ def conv3x3_silu(x, w, b, tile_h: int = 16, interpret: bool = False):
         ],
         out_specs=pl.BlockSpec((1, tile_h, wg, gcout),
                                lambda bi, ti: (bi, ti, 0, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
+        interpret=_auto_interpret(interpret),
     )(xg, xg, xg, wb, bk)
     return out.reshape(bsz, h, wd, cout)
 
 
 # ---------------------------------------------------------------------------
+# model integration: swap folded ConvBnAct calls for the fused kernels
+
+
+def pallas_cba_interceptor(next_fun, args, kwargs, context):
+    """`flax.linen.intercept_methods` hook replacing every supported folded
+    ConvBnAct forward with the one-kernel fused conv+bias+SiLU — no param-tree
+    change, no model edit.  Unsupported configs (stride 2, unpackable widths,
+    training mode) fall through to the stock flax path."""
+    from icp_slam_yolo_tpu.models.yolo import ConvBnAct
+
+    mod = context.module
+    train = kwargs.get("train", args[1] if len(args) > 1 else False)
+    if (not isinstance(mod, ConvBnAct) or context.method_name != "__call__"
+            or not mod.folded or train):
+        return next_fun(*args, **kwargs)
+    x = args[0]
+    if x.ndim != 4 or (mod.kernel, mod.stride) not in ((1, 1), (3, 1)):
+        return next_fun(*args, **kwargs)
+    p = mod.variables["params"]["Conv_0"]
+    w, b = p["kernel"], p["bias"]
+    cin, cout = int(w.shape[-2]), int(w.shape[-1])
+    g = _pack_group(cin, cout)
+    npix = x.shape[0] * x.shape[1] * x.shape[2]
+    if x.shape[2] % g or npix % g or (npix // g) % 8:
+        return next_fun(*args, **kwargs)
+    x = x.astype(mod.dtype)
+    w = w.astype(mod.dtype)
+    b = b.astype(mod.dtype)
+    if mod.kernel == 1:
+        return conv1x1_silu(x, w[0, 0], b)
+    return conv3x3_silu(x, w, b)
+
+
 # bench hooks for scripts/conv_fused_ab.py
 
 

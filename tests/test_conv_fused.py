@@ -69,6 +69,30 @@ def test_conv3x3_silu_single_tile():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("family", ["v8", "v12"])
+def test_interceptor_preserves_model_outputs(family):
+    """A folded YOLO forward with `pallas_cba_interceptor` (Detector's
+    `pallas_convs=True` path) must equal the stock flax forward: every
+    supported 1x1/3x3-s1 ConvBnAct swaps to the fused kernel, everything else
+    falls through untouched."""
+    import flax.linen as nn
+
+    from icp_slam_yolo_tpu.models.yolo import YOLO, fold_batchnorm
+    from icp_slam_yolo_tpu.ops.pallas.conv_fused import pallas_cba_interceptor
+
+    m = YOLO(num_classes=1, family=family, fold_bn=True, compute_dtype=jnp.float32)
+    m0 = YOLO(num_classes=1, family=family, compute_dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    v = m0.init(jax.random.key(0), x)
+    fp, fbs = fold_batchnorm(v["params"], v["batch_stats"])
+    vars_ = {"params": fp, "batch_stats": fbs}
+    o0 = m.apply(vars_, x, train=False)
+    with nn.intercept_methods(pallas_cba_interceptor):
+        o1 = m.apply(vars_, x, train=False)
+    for a, b in zip(jax.tree.leaves(o0), jax.tree.leaves(o1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4)
+
+
 def test_pack_group():
     assert conv_fused._pack_group(32, 32) == 4
     assert conv_fused._pack_group(16, 32) == 8
