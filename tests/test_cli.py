@@ -36,6 +36,7 @@ def test_split_cli(tmp_path, capsys):
     assert len(os.listdir(tmp_path / "out" / "train" / "images")) == 3
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_train_segment_cli(tmp_path, capsys):
     """`cli train --task segment` end-to-end on a tiny polygon dataset."""
     src = tmp_path / "ds"

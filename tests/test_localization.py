@@ -1,6 +1,7 @@
 """Localization-only mode and full SLAM state checkpoint/resume."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from icp_slam_yolo_tpu.config import SlamConfig
@@ -11,6 +12,7 @@ from icp_slam_yolo_tpu.slam.api import Slam
 CFG = SlamConfig(map_capacity=4096)
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_localization_tracks_without_map_update(scan_sequence):
     raw = scan_sequence[:25]
     padded = scans_io.collate(raw, CFG.n_max)

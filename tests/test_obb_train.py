@@ -1,6 +1,7 @@
 """OBB training: angle parsing, loss term, end-to-end train step, ICP debug view."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -26,6 +27,7 @@ def test_polygon_angle():
     assert -np.pi / 4 <= polygon_angle(rot) < 0.75 * np.pi
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_obb_loss_has_angle_term():
     model = YOLO(num_classes=1, task="obb")
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, SIZE, SIZE, 3)), jnp.float32)
@@ -46,6 +48,7 @@ def test_obb_loss_has_angle_term():
     assert float(total) > float(total2)
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_obb_train_step_decreases():
     model = YOLO(num_classes=1, task="obb")
     state, tx = create_train_state(model, SIZE, total_steps=20)

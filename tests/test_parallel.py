@@ -1,6 +1,7 @@
 """Fleet batching and sharding over the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -25,6 +26,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_fleet_step_sharded(scan_sequence):
     b = 8
     first = jnp.asarray(np.stack([scans_io.pad_scan(scan_sequence[i], CFG.n_max) for i in range(b)]))
@@ -43,6 +45,7 @@ def test_fleet_step_sharded(scan_sequence):
     assert states.pose.sharding.is_equivalent_to(shard, ndim=2)
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_fleet_matches_single(scan_sequence):
     """Each fleet lane must equal an independent single-robot run."""
     raw = scan_sequence[:8]
@@ -104,6 +107,7 @@ def test_fleet_per_robot_rate(scan_sequence):
     )
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_fleet_tick_matches_single_realtime(scan_sequence):
     """The fleet's lane-uniform maintenance tick must reproduce per-lane
     sequential replay exactly (they coincide whenever no scan is skipped for

@@ -57,6 +57,7 @@ def test_run_sequence_matches_oracle(scan_sequence):
     assert np.abs(rmses[finite] - ref_rmses[finite]).max() < 10.0
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_streaming_equals_batch(scan_sequence):
     raw = scan_sequence[:15]
     padded = scans_io.collate(raw, CFG.n_max)
@@ -71,6 +72,7 @@ def test_streaming_equals_batch(scan_sequence):
     np.testing.assert_allclose(stream_traj, batch_traj, atol=1e-3)
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_map_stays_bounded(scan_sequence):
     padded = scans_io.collate(scan_sequence[:30], CFG.n_max)
     state, _ = pipeline.run_sequence(jnp.asarray(padded), CFG)

@@ -103,6 +103,7 @@ def test_pose_loss_finite_and_orders():
     assert float(metrics["loss_kpt"]) > 0 and float(metrics["loss_kobj"]) > 0
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_pose_train_step_decreases():
     model = YOLO(num_classes=1, task="pose")
     state, tx = create_train_state(model, SIZE, total_steps=20)

@@ -1,6 +1,7 @@
 """Realtime-semantics pipeline (`mainn.py:267-399`) vs the NumPy oracle."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from icp_slam_yolo_tpu.config import REALTIME_CONFIG
@@ -11,6 +12,7 @@ from icp_slam_yolo_tpu.slam import pipeline
 CFG = REALTIME_CONFIG.replace(map_capacity=4096)
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_realtime_matches_oracle(scan_sequence):
     raw = scan_sequence[:35]
     padded = scans_io.collate(raw, CFG.n_max)

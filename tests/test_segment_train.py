@@ -1,6 +1,7 @@
 """Segmentation training: polygon rasterisation, mask loss, train step."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +47,7 @@ def test_segmentation_loss_finite():
     assert "loss_mask" in metrics and float(metrics["loss_mask"]) > 0
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_segment_train_step_decreases():
     model = YOLO(num_classes=1, task="segment")
     state, tx = create_train_state(model, SIZE, total_steps=20)

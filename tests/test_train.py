@@ -50,6 +50,7 @@ def test_tal_assigns_inside_anchor():
     assert float(np.asarray(tgt).max()) > 0.5
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_loss_finite_and_decreases():
     model = YOLO(num_classes=1)
     state, tx = create_train_state(model, SIZE, total_steps=30)
@@ -64,6 +65,7 @@ def test_loss_finite_and_decreases():
     assert int(metrics["num_fg"]) > 0
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_dryrun_train_step_8dev():
     dryrun_train_step(8, img_size=SIZE)
 

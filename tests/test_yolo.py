@@ -172,6 +172,7 @@ def test_load_example_letterboxes_boxes():
     np.testing.assert_allclose([x1, y1], [240 * scale + px, 120 * scale + py], rtol=1e-5)
 
 
+@pytest.mark.slow  # integration/parity: quality gate + train scripts cover it
 def test_family_variants_forward_and_decode():
     """v11 (C3k2 + C2PSA) and v12 (area-attention A2C2f) families: init,
     forward, decode — same head contract as v8; param counts in the
