@@ -202,7 +202,8 @@ def _measure_fetch_overhead() -> float:
     return _timed_fetch(trivial, (z,), lambda a, k: (a[0] + k,), repeats=4)
 
 
-def bench_detect(batch: int = 8, img_size: int = 640, n_calls: int = 8):
+def bench_detect(batch: int = 8, img_size: int = 640, n_calls: int = 8,
+                 pallas_convs: bool = False):
     """YOLO detect frames/sec (jitted conv + decode + NMS), in-graph chained.
 
     Returns ``(fps, model_gflop_per_image, achieved_tflops, mfu)``: the FLOP
@@ -214,7 +215,7 @@ def bench_detect(batch: int = 8, img_size: int = 640, n_calls: int = 8):
 
     from icp_slam_yolo_tpu.models.detect import Detector
 
-    det = Detector(num_classes=1, img_size=img_size)
+    det = Detector(num_classes=1, img_size=img_size, pallas_convs=pallas_convs)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 1, (batch, img_size, img_size, 3)), jnp.float32)
     params, stats = det.params, det.batch_stats
@@ -304,7 +305,8 @@ def bench_train(batch: int = 16, img_size: int = 640, n_calls: int = 4,
     return n_calls / max(tN - base, 1e-9)
 
 
-def bench_fused(n_calls: int = 48, detect_every: int = 1, mode: str = "fused") -> float:
+def bench_fused(n_calls: int = 48, detect_every: int = 1, mode: str = "fused",
+                pallas_convs: bool = False) -> float:
     """Fused SLAM+YOLO loop (BASELINE.json config 4): one tick = one SLAM
     scan step + one stereo-pair detect (batch-2 forward+decode+NMS), chained
     in ONE jitted program with a data dependency between the two (detections
@@ -337,7 +339,7 @@ def bench_fused(n_calls: int = 48, detect_every: int = 1, mode: str = "fused") -
     state0 = pipeline.init_state(jnp.asarray(scans[0]), cfg)
     step = pipeline.make_step(cfg)
 
-    det = Detector(num_classes=1, img_size=640)
+    det = Detector(num_classes=1, img_size=640, pallas_convs=pallas_convs)
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.uniform(0, 1, (2, 640, 640, 3)), jnp.float32)
     params, stats = det.params, det.batch_stats

@@ -42,6 +42,21 @@ def _pack_group(cin: int, cout: int, lanes: int = 128) -> int:
     return (g * g2) // math.gcd(g, g2)
 
 
+def _best_tile(n: int, cap: int, mult: int = 8) -> int:
+    """Largest divisor of ``n`` that is <= cap and a multiple of ``mult``
+    (fall back to the largest divisor <= cap).  Each grid step costs ~0.8 us
+    of fixed overhead on v5e (measured, scripts/conv_fused_ab.py), so tiles
+    should be as large as VMEM allows — a naive halving search can collapse
+    to tiny tiles (12800 % 1024 -> 512 -> ... -> 256) and 4x the step count."""
+    best = 1
+    for t in range(min(n, cap), 0, -1):
+        if n % t == 0 and (t % mult == 0 or t == n):
+            return t
+        if n % t == 0 and best == 1:
+            best = t
+    return best
+
+
 def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref):
     acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     acc = acc + b_ref[:].astype(jnp.float32)
@@ -54,7 +69,7 @@ def _auto_interpret(interpret: bool) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
-def conv1x1_silu(x, w, b, tile_m: int = 1024, interpret: bool = False):
+def conv1x1_silu(x, w, b, tile_m: int = 4096, interpret: bool = False):
     """``silu(x @ w + b)`` over the channel axis of an NHWC tensor, one kernel.
 
     x: (B, H, W, Cin) bf16/f32;  w: (Cin, Cout);  b: (Cout,).
@@ -67,9 +82,7 @@ def conv1x1_silu(x, w, b, tile_m: int = 1024, interpret: bool = False):
     m = bsz * h * wd // g
     if bsz * h * wd % g or m % 8:
         raise ValueError(f"pixel count {bsz*h*wd} not packable by G={g}")
-    tile_m = min(tile_m, m)
-    while m % tile_m:
-        tile_m //= 2
+    tile_m = _best_tile(m, min(tile_m, m))
 
     xf = x.reshape(m, g * cin)                       # free: contiguous view
     eye = jnp.eye(g, dtype=w.dtype)
@@ -152,7 +165,7 @@ def _conv3x3_kernel(xm_ref, x_ref, xp_ref, w_ref, b_ref, o_ref, *, th, wg, gcin,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
-def conv3x3_silu(x, w, b, tile_h: int = 16, interpret: bool = False):
+def conv3x3_silu(x, w, b, tile_h: int = 32, interpret: bool = False):
     """``silu(conv3x3_same(x, w) + b)``, stride 1, one fused kernel.
 
     x: (B, H, W, Cin);  w: (3, 3, Cin, Cout) HWIO;  b: (Cout,).
@@ -166,9 +179,7 @@ def conv3x3_silu(x, w, b, tile_h: int = 16, interpret: bool = False):
     if wd % g:
         raise ValueError(f"width {wd} not divisible by pixel group {g}")
     wg = wd // g
-    tile_h = min(tile_h, h)
-    while h % tile_h:
-        tile_h //= 2
+    tile_h = _best_tile(h, min(tile_h, h), mult=4)
 
     gcin, gcout = g * cin, g * cout
     xg = x.reshape(bsz, h, wg, gcin)                   # free: contiguous view
@@ -204,11 +215,29 @@ def conv3x3_silu(x, w, b, tile_h: int = 16, interpret: bool = False):
 # model integration: swap folded ConvBnAct calls for the fused kernels
 
 
+# Regime gate, measured on v5e (docs/conv_fused_ab.json, tuned tiles):
+#   b2  (serving stereo pair): 0.97-4.5x per stage — Pallas everywhere.
+#   b8  (camera burst): 1.78-3.16x at H>=80; 0.59x at H=40 — Pallas only on
+#        the large-spatial sites.
+#   b128 (throughput): XLA's conv emitter sits at the bandwidth roof and the
+#        ~0.8 us/grid-step overhead makes Pallas lose 3-13x — XLA everywhere.
+PALLAS_CONV_MAX_BATCH = 8
+PALLAS_CONV_MIN_H = 80          # spatial cutoff for batches > _SMALL_BATCH
+PALLAS_CONV_SMALL_BATCH = 2     # at stereo-pair batch even tiny sites hold parity
+
+
+def _use_pallas(batch: int, h: int) -> bool:
+    if batch > PALLAS_CONV_MAX_BATCH:
+        return False
+    return batch <= PALLAS_CONV_SMALL_BATCH or h >= PALLAS_CONV_MIN_H
+
+
 def pallas_cba_interceptor(next_fun, args, kwargs, context):
     """`flax.linen.intercept_methods` hook replacing every supported folded
     ConvBnAct forward with the one-kernel fused conv+bias+SiLU — no param-tree
     change, no model edit.  Unsupported configs (stride 2, unpackable widths,
-    training mode) fall through to the stock flax path."""
+    training mode, throughput-regime batches) fall through to the stock flax
+    path."""
     from icp_slam_yolo_tpu.models.yolo import ConvBnAct
 
     mod = context.module
@@ -217,7 +246,8 @@ def pallas_cba_interceptor(next_fun, args, kwargs, context):
             or not mod.folded or train):
         return next_fun(*args, **kwargs)
     x = args[0]
-    if x.ndim != 4 or (mod.kernel, mod.stride) not in ((1, 1), (3, 1)):
+    if (x.ndim != 4 or not _use_pallas(int(x.shape[0]), int(x.shape[1]))
+            or (mod.kernel, mod.stride) not in ((1, 1), (3, 1))):
         return next_fun(*args, **kwargs)
     p = mod.variables["params"]["Conv_0"]
     w, b = p["kernel"], p["bias"]

@@ -40,7 +40,9 @@ STAGES = {
     "c2f2_cv1": (32, 32, 1, 1, 160),
     # representative 3x3 s1 bottleneck shapes (32 such sites, ~32% of SoL):
     "c2f2_b3x3": (16, 16, 3, 1, 160),
+    "c2f4_b3x3": (32, 32, 3, 1, 80),
     "c2f6_b3x3": (64, 64, 3, 1, 40),
+    "c2f4_cv1": (32, 32, 1, 1, 80),
 }
 
 # v5e single-chip roofs (docs/PERF.md fusion probe: 838 GB/s measured peak,
@@ -68,6 +70,14 @@ def _timed_chain(make_prog, n_calls: int, repeats: int = 5) -> float:
         return float(np.median(ts[1:]))
 
     return max(run(pN, xN) - run(p0, x0), 1e-9) / n_calls
+
+
+def calls_for(name: str, batch: int, floor_us: float = 80_000.0) -> int:
+    """Scale chain length so the N-call program runs >=~80 ms of expected
+    stage work — the relay's ~1-3 ms dispatch jitter must be <<1 us/call
+    (n=32 at a 20 us SoL stage left the b8/b128 readings under the noise
+    floor: 0.0 us entries in the first capture)."""
+    return int(min(2000, max(64, floor_us / sol_us(name, batch))))
 
 
 def make_xla_stage(name: str, batch: int):
@@ -115,7 +125,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="8,128")
-    ap.add_argument("--n-calls", type=int, default=32)
+    ap.add_argument("--n-calls", type=int, default=0,
+                    help="0 = auto-scale per stage (see calls_for)")
     ap.add_argument("--pallas", action="store_true", help="also run the Pallas kernels")
     args = ap.parse_args()
 
@@ -126,13 +137,15 @@ def main():
     for batch in [int(b) for b in args.batches.split(",")]:
         res = {}
         for name in STAGES:
+            n = args.n_calls or calls_for(name, batch)
             _, make_prog = make_xla_stage(name, batch)
-            t = _timed_chain(make_prog, args.n_calls)
+            t = _timed_chain(make_prog, n)
             res[name] = {
                 "xla_us": round(t * 1e6, 1),
                 "sol_us": round(sol_us(name, batch), 1),
+                "n_calls": n,
             }
-            print(f"b{batch} {name}: XLA {t*1e6:.1f} us (SoL {sol_us(name, batch):.1f})",
+            print(f"b{batch} {name}: XLA {t*1e6:.1f} us (SoL {sol_us(name, batch):.1f}, n={n})",
                   flush=True)
         if args.pallas:
             from icp_slam_yolo_tpu.ops.pallas import conv_fused
@@ -141,22 +154,12 @@ def main():
                 mk = conv_fused.make_bench_stage(name, STAGES[name], batch)
                 if mk is None:
                     continue
-                t = _timed_chain(mk, args.n_calls)
+                n = args.n_calls or calls_for(name, batch)
+                t = _timed_chain(mk, n)
                 res[name]["pallas_us"] = round(t * 1e6, 1)
                 res[name]["speedup"] = round(res[name]["xla_us"] / (t * 1e6), 2)
                 print(f"b{batch} {name}: PALLAS {t*1e6:.1f} us "
                       f"({res[name]['speedup']}x vs XLA)", flush=True)
-            mk = conv_fused.make_bench_stem_down2(batch)
-            if mk is not None:
-                t = _timed_chain(mk, args.n_calls)
-                xla2 = res["stem"]["xla_us"] + res["down2"]["xla_us"]
-                res["stem+down2"] = {
-                    "xla_us_sum": xla2,
-                    "pallas_us": round(t * 1e6, 1),
-                    "speedup": round(xla2 / (t * 1e6), 2),
-                }
-                print(f"b{batch} stem+down2 megakernel: {t*1e6:.1f} us "
-                      f"({res['stem+down2']['speedup']}x vs XLA 2-stage)", flush=True)
         out[f"b{batch}"] = res
 
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

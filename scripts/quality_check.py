@@ -78,7 +78,17 @@ def run_oracle_parity(scans_raw, padded) -> dict:
     # to ~31% past mid-sequence (oracle agrees — 29%: the cap, not a parity
     # issue) and the trajectory comparison stops being meaningful
     cfg = SlamConfig()
-    _, ref_poses, ref_rmses, ref_acc = oracle.run_sequence(scans_raw, cfg)
+    cache = os.environ.get("ORACLE_CACHE", "")
+    if cache and os.path.exists(cache):
+        # the float64 oracle is deterministic on fixed inputs/config: safe to
+        # precompute (it is the ~50-60 min CPU half of this job; the compiled
+        # pipeline's share is seconds)
+        z = np.load(cache)
+        ref_poses, ref_acc = z["poses"], z["accepted"]
+    else:
+        _, ref_poses, ref_rmses, ref_acc = oracle.run_sequence(scans_raw, cfg)
+        if cache:
+            np.savez(cache, poses=ref_poses, accepted=ref_acc)
     _, outs = pipeline.run_sequence(jnp.asarray(padded), cfg)
     acc = np.asarray(outs.accepted)
     poses = np.asarray(outs.pose)
