@@ -552,7 +552,10 @@ def main():
         secondary["detect_mfu"] = round(mfu, 4)
         # throughput regime: small batches leave MXU tiles mostly empty (the
         # batch dim folds into the matmul rows); 128 is the measured knee
-        fps128, _, tflops128, mfu128 = bench_detect(batch=128, n_calls=4)
+        # n_calls=4 left only ~80 ms of signal against the relay's jitter and
+        # produced a 5.2-9.7k FPS spread across r5 re-runs; 12 calls puts the
+        # chain at ~250 ms and the reading back inside a ~10% band
+        fps128, _, tflops128, mfu128 = bench_detect(batch=128, n_calls=12)
         print(f"# YOLO detect throughput (batch 128): {fps128:.1f} FPS "
               f"({tflops128:.1f} TFLOP/s, {mfu128*100:.1f}% MFU)", file=sys.stderr)
         secondary["detect_fps_640_b128"] = round(fps128, 1)
