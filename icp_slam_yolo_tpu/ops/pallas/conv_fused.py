@@ -294,8 +294,3 @@ def make_bench_stage(name: str, spec, batch: int):
         return prog, x
 
     return make_prog
-
-
-def make_bench_stem_down2(batch: int):
-    """Two-stage stem+down2 megakernel bench hook (None until implemented)."""
-    return None

@@ -69,6 +69,52 @@ def test_conv3x3_silu_single_tile():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_interceptor_mini_module_swap_and_fallback():
+    """Interceptor unit semantics on a 4-block module, without the ~30 s
+    full-YOLO init: supported 1x1 and 3x3-s1 sites swap to the fused kernels,
+    stride-2 and throughput-batch sites fall through, outputs match the stock
+    forward exactly."""
+    import flax.linen as nn
+
+    from icp_slam_yolo_tpu.models.yolo import ConvBnAct
+    from icp_slam_yolo_tpu.ops.pallas import conv_fused
+    from icp_slam_yolo_tpu.ops.pallas.conv_fused import pallas_cba_interceptor
+
+    class Mini(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = ConvBnAct(16, 3, 2, folded=True)(x, train)    # s2: falls through
+            x = ConvBnAct(16, 3, 1, folded=True)(x, train)    # 3x3 kernel path
+            x = ConvBnAct(32, 1, 1, folded=True)(x, train)    # 1x1 kernel path
+            return ConvBnAct(32, 1, 1, folded=False)(x, train)  # unfolded: falls through
+
+    m = Mini()
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 160, 160, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), x)
+    o0 = m.apply(v, x, train=False)
+
+    calls = []
+    orig1, orig3 = conv_fused.conv1x1_silu, conv_fused.conv3x3_silu
+    conv_fused.conv1x1_silu = lambda *a, **k: calls.append("1x1") or orig1(*a, **k)
+    conv_fused.conv3x3_silu = lambda *a, **k: calls.append("3x3") or orig3(*a, **k)
+    try:
+        with nn.intercept_methods(pallas_cba_interceptor):
+            o1 = m.apply(v, x, train=False)
+        assert sorted(calls) == ["1x1", "3x3"], calls  # exactly the 2 supported sites
+        calls.clear()
+        xb = jnp.concatenate([x] * 8, axis=0)  # batch 16 > regime gate
+        with nn.intercept_methods(pallas_cba_interceptor):
+            ob = m.apply(v, xb, train=False)
+        assert calls == [], calls  # throughput regime: all-XLA
+    finally:
+        conv_fused.conv1x1_silu, conv_fused.conv3x3_silu = orig1, orig3
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ob[:2]), np.asarray(o0), atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.slow  # ~30-50 s of full-YOLO init each; the mini-module test
+# above covers the interceptor logic and the TPU checkpoint-family check
+# covers the real model (docs/PERF.md r5)
 @pytest.mark.parametrize("family", ["v8", "v12"])
 def test_interceptor_preserves_model_outputs(family):
     """A folded YOLO forward with `pallas_cba_interceptor` (Detector's
