@@ -174,20 +174,42 @@ class Detector:
             self.params, self.batch_stats, jnp.asarray(batch),
             jnp.float32(self.conf_threshold), jnp.float32(self.iou_threshold),
         )
-        valid = np.asarray(dets.valid[0])
-        model_boxes = np.asarray(dets.boxes[0])[valid]
+        return self._postprocess_one(dets, extras, protos, 0, scale, px, py)
+
+    def detect_pair(self, f1: np.ndarray, f2: np.ndarray) -> tuple[dict, dict]:
+        """Stereo-pair detect: BOTH eyes in ONE batch-2 device call.
+
+        The reference's camera worker runs `model.predict` twice per tick
+        (`mainn.py:175-176`); two sequential batch-1 dispatches cost ~2x the
+        batched pair (bench_fused detect-b2 = 1.36 ms vs ~2 x 1 ms single).
+        Frames must share a shape (stereo rigs do).
+        """
+        b1, (s1, px1, py1) = self.preprocess(f1)
+        b2, (s2, px2, py2) = self.preprocess(f2)
+        dets, extras, protos = self._predict(
+            self.params, self.batch_stats, jnp.asarray(np.concatenate([b1, b2], 0)),
+            jnp.float32(self.conf_threshold), jnp.float32(self.iou_threshold),
+        )
+        return (
+            self._postprocess_one(dets, extras, protos, 0, s1, px1, py1),
+            self._postprocess_one(dets, extras, protos, 1, s2, px2, py2),
+        )
+
+    def _postprocess_one(self, dets, extras, protos, i: int, scale, px, py) -> dict:
+        valid = np.asarray(dets.valid[i])
+        model_boxes = np.asarray(dets.boxes[i])[valid]
         # exact letterbox unmap to original frame pixels
         boxes = (model_boxes - np.array([px, py, px, py], np.float32)) / np.float32(scale)
         out = {
             "boxes": boxes,
-            "scores": np.asarray(dets.scores[0])[valid],
-            "classes": np.asarray(dets.classes[0])[valid],
+            "scores": np.asarray(dets.scores[i])[valid],
+            "classes": np.asarray(dets.classes[i])[valid],
         }
         if extras is not None:
             # extras rows are candidate-row-aligned with the Detections
-            # (decode_topk), so row i of the gather corresponds to row i of
-            # out["boxes"] directly
-            gathered = np.asarray(extras[0])[valid]
+            # (decode_topk), so each gathered row corresponds to the same row
+            # of out["boxes"] directly
+            gathered = np.asarray(extras[i])[valid]
             if self.task == "pose":
                 # ordered tl/tr/br/bl corners unmapped to ORIGINAL frame px —
                 # directly consumable by `stereo_to_3d`/`estimate_3d_pose`
@@ -202,7 +224,7 @@ class Detector:
 
             out["masks"] = np.asarray(
                 assemble_masks(
-                    protos[0], jnp.asarray(out["mask_coeffs"]).reshape(-1, protos.shape[-1]),
+                    protos[i], jnp.asarray(out["mask_coeffs"]).reshape(-1, protos.shape[-1]),
                     jnp.asarray(model_boxes).reshape(-1, 4), self.img_size,
                 )
             )  # (K, Hp, Wp) probabilities at 1/4 model resolution

@@ -298,8 +298,12 @@ class ServerState:
         self._camera_trigger_event = trigger
 
         def on_pair(f1, f2):
-            out1 = detector(f1)
-            out2 = detector(f2)
+            if hasattr(detector, "detect_pair") and f1.shape == f2.shape:
+                # both eyes in ONE batch-2 device call (~2x fewer dispatches
+                # than the reference's per-eye predict, `mainn.py:175-176`)
+                out1, out2 = detector.detect_pair(f1, f2)
+            else:
+                out1, out2 = detector(f1), detector(f2)
             if not len(out1["boxes"]) or not len(out2["boxes"]):
                 # no pallet in one eye: still publish the (box-annotated) raw
                 # frames so the operator sees what the camera sees

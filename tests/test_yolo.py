@@ -88,6 +88,22 @@ def test_detector_end_to_end():
     assert len(out["boxes"]) == 0
 
 
+def test_detect_pair_matches_two_single_calls():
+    """`detect_pair` (one batch-2 dispatch, the serving stereo path) must
+    return exactly what two single-frame calls return, per eye."""
+    det = Detector(num_classes=1, img_size=SIZE, conf_threshold=0.001)
+    rng = np.random.default_rng(1)
+    f1 = rng.uniform(0, 255, (480, 640, 3)).astype(np.uint8)
+    f2 = rng.uniform(0, 255, (480, 640, 3)).astype(np.uint8)
+    o1, o2 = det.detect_pair(f1, f2)
+    s1, s2 = det(f1), det(f2)
+    for got, want in ((o1, s1), (o2, s2)):
+        assert len(got["boxes"]) == len(want["boxes"])
+        np.testing.assert_allclose(got["boxes"], want["boxes"], atol=1e-4)
+        np.testing.assert_allclose(got["scores"], want["scores"], atol=1e-5)
+        np.testing.assert_array_equal(got["classes"], want["classes"])
+
+
 def test_nms_anchor_idx_tracks_kept_boxes():
     """anchor_idx points back into the flat candidate axis for every kept box."""
     boxes = jnp.asarray(
