@@ -105,15 +105,65 @@ class Detector:
 
                 self.params, self.batch_stats = fold_batchnorm(self.params, self.batch_stats)
         self.pallas_convs = pallas_convs and fold_bn
+        self._c2f_arranged = self._arrange_c2f_blocks() if self.pallas_convs else {}
         self._predict = jax.jit(partial(self._predict_impl))
+
+    def _arrange_c2f_blocks(self) -> dict:
+        """Precompute the megakernel weight arrangement for every supported
+        (folded, n=1) C2f block ONCE, host-side: built in-trace per call the
+        ~10^2 scatter ops per block cost 2.5x what the kernel saves
+        (docs/PERF.md r5).  Keys are the block names the interceptor sees via
+        ``module.path``; shortcut comes from the v8 wiring (backbone c2f_*
+        carry the residual, neck_*/pan_* do not — models/yolo.py setup)."""
+        import numpy as _np
+
+        from icp_slam_yolo_tpu.ops.pallas.c2f_fused import arrange_c2f_weights
+        from icp_slam_yolo_tpu.ops.pallas.conv_fused import _pack_group
+
+        cache = {}
+        for name, sub in self.params.items():
+            if not (isinstance(sub, dict) and "Bottleneck_0" in sub
+                    and "Bottleneck_1" not in sub
+                    and "ConvBnAct_0" in sub and "ConvBnAct_1" in sub):
+                continue
+            try:
+                cv1 = sub["ConvBnAct_0"]["Conv_0"]
+                m0a = sub["Bottleneck_0"]["ConvBnAct_0"]["Conv_0"]
+                m0b = sub["Bottleneck_0"]["ConvBnAct_1"]["Conv_0"]
+                cv2 = sub["ConvBnAct_1"]["Conv_0"]
+                w1 = _np.asarray(cv1["kernel"])[0, 0]
+                b1 = _np.asarray(cv1["bias"])
+            except (KeyError, TypeError, IndexError):
+                continue  # unfolded or non-C2f-shaped subtree
+            c = w1.shape[1] // 2
+            arranged = tuple(
+                _np.asarray(a) for a in arrange_c2f_weights(
+                    w1, b1,
+                    _np.asarray(m0a["kernel"]), _np.asarray(m0a["bias"]),
+                    _np.asarray(m0b["kernel"]), _np.asarray(m0b["bias"]),
+                    _np.asarray(cv2["kernel"])[0, 0], _np.asarray(cv2["bias"]),
+                    _pack_group(c, c), self.model.compute_dtype,
+                )
+            )
+            cache[name] = (arranged, name.startswith("c2f"))
+        return cache
 
     def _apply_model(self, variables, images):
         if self.pallas_convs:
             import flax.linen as nn
 
+            from icp_slam_yolo_tpu.ops.pallas.c2f_fused import c2f_interceptor
             from icp_slam_yolo_tpu.ops.pallas.conv_fused import pallas_cba_interceptor
 
-            with nn.intercept_methods(pallas_cba_interceptor):
+            def fused_blocks(next_fun, args, kwargs, context):
+                # whole-C2f megakernel first; a fallen-through C2f's inner
+                # ConvBnActs still get the per-site fusion
+                def nxt(*a, **k):
+                    return pallas_cba_interceptor(next_fun, a, k, context)
+                return c2f_interceptor(nxt, args, kwargs, context,
+                                       cache=self._c2f_arranged)
+
+            with nn.intercept_methods(fused_blocks):
                 return self.model.apply(variables, images, train=False)
         return self.model.apply(variables, images, train=False)
 

@@ -54,6 +54,7 @@ KERNEL_FLOOR_US = 20.0
 def _timed_chain(make_prog, n_calls: int, repeats: int = 5) -> float:
     """Marginal seconds per call: (t_N - t_0) via in-graph chaining."""
     import jax
+    import jax.numpy as jnp
 
     p0, x0 = make_prog(0)
     pN, xN = make_prog(n_calls)
