@@ -203,7 +203,7 @@ def _measure_fetch_overhead() -> float:
 
 
 def bench_detect(batch: int = 8, img_size: int = 640, n_calls: int = 8,
-                 pallas_convs: bool = False):
+                 pallas_convs: bool = True):
     """YOLO detect frames/sec (jitted conv + decode + NMS), in-graph chained.
 
     Returns ``(fps, model_gflop_per_image, achieved_tflops, mfu)``: the FLOP
@@ -306,7 +306,7 @@ def bench_train(batch: int = 16, img_size: int = 640, n_calls: int = 4,
 
 
 def bench_fused(n_calls: int = 48, detect_every: int = 1, mode: str = "fused",
-                pallas_convs: bool = False) -> float:
+                pallas_convs: bool = True) -> float:
     """Fused SLAM+YOLO loop (BASELINE.json config 4): one tick = one SLAM
     scan step + one stereo-pair detect (batch-2 forward+decode+NMS), chained
     in ONE jitted program with a data dependency between the two (detections

@@ -80,10 +80,11 @@ class Detector:
         # one HBM round trip fewer per block (XLA measurably does not fuse
         # the BN chain into the conv — scripts/detect_roofline.py).  Pass
         # False to run the training-shaped graph.
-        pallas_convs: bool = False,  # run folded 1x1/3x3-s1 ConvBnActs as
-        # fused Pallas conv+bias+SiLU kernels (ops/pallas/conv_fused.py);
-        # A/B-gated default, see docs/PERF.md "conv fusion" and
-        # scripts/conv_fused_ab.py before flipping this on
+        pallas_convs: bool = True,  # run the conv stack as fused Pallas
+        # kernels (conv+bias+SiLU one kernel each; n=1 C2f blocks as ONE
+        # megakernel) in the latency regime — measured 1.7x (b2 stereo tick)
+        # to 3.75x (b8) end-to-end, self-disabling above batch 32 where the
+        # XLA emitter wins (docs/PERF.md r5).  Requires fold_bn.
     ):
         self.model = YOLO(num_classes=num_classes, variant=variant, task=task, family=family,
                           n_kpt=n_kpt, compute_dtype=compute_dtype, fold_bn=fold_bn)

@@ -57,10 +57,12 @@ def _best_tile(n: int, cap: int, mult: int = 8) -> int:
     return best
 
 
-def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref):
+def _conv1x1_kernel(x_ref, w_ref, b_ref, o_ref, *, act=True):
     acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     acc = acc + b_ref[:].astype(jnp.float32)
-    o_ref[:] = (acc * jax.nn.sigmoid(acc)).astype(o_ref.dtype)
+    if act:
+        acc = acc * jax.nn.sigmoid(acc)
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _auto_interpret(interpret: bool) -> bool:
@@ -68,8 +70,9 @@ def _auto_interpret(interpret: bool) -> bool:
     return interpret or jax.default_backend() == "cpu"
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
-def conv1x1_silu(x, w, b, tile_m: int = 4096, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "act"))
+def conv1x1_silu(x, w, b, tile_m: int = 4096, interpret: bool = False,
+                 act: bool = True):
     """``silu(x @ w + b)`` over the channel axis of an NHWC tensor, one kernel.
 
     x: (B, H, W, Cin) bf16/f32;  w: (Cin, Cout);  b: (Cout,).
@@ -79,10 +82,17 @@ def conv1x1_silu(x, w, b, tile_m: int = 4096, interpret: bool = False):
     bsz, h, wd, cin = x.shape
     cout = w.shape[1]
     g = _pack_group(cin, cout)
+    if (g * cin > 512 or bsz * h * wd % g or (bsz * h * wd // g) % 8):
+        # unpackable, or the pack row would be absurdly wide (the 1-class
+        # head conv wants g=128 -> 8192-lane rows, a 25 MB VMEM block):
+        # plain (pix, Cin) rows instead
+        g = 1
     m = bsz * h * wd // g
-    if bsz * h * wd % g or m % 8:
-        raise ValueError(f"pixel count {bsz*h*wd} not packable by G={g}")
-    tile_m = _best_tile(m, min(tile_m, m))
+    if m % 8:
+        raise ValueError(f"pixel count {bsz*h*wd} not tileable")
+    # VMEM cap: in+out tile pairs (double-buffered) must fit comfortably
+    max_rows = max(8, (4 * 2 ** 20) // ((g * cin + g * cout) * 2))
+    tile_m = _best_tile(m, min(tile_m, m, max_rows))
 
     xf = x.reshape(m, g * cin)                       # free: contiguous view
     eye = jnp.eye(g, dtype=w.dtype)
@@ -90,7 +100,7 @@ def conv1x1_silu(x, w, b, tile_m: int = 4096, interpret: bool = False):
     bk = jnp.tile(b, g)[None, :]                     # (1, G*Cout)
 
     out = pl.pallas_call(
-        _conv1x1_kernel,
+        functools.partial(_conv1x1_kernel, act=act),
         out_shape=jax.ShapeDtypeStruct((m, g * cout), x.dtype),
         grid=(m // tile_m,),
         in_specs=[
@@ -212,18 +222,115 @@ def conv3x3_silu(x, w, b, tile_h: int = 32, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
-# model integration: swap folded ConvBnAct calls for the fused kernels
+# 3x3 stride-2 conv + bias + SiLU (stem/down2-5/pan_d* — the 7 downsample
+# sites).  Exists so the full-Pallas conv path has NO XLA conv adjacent to a
+# pallas boundary: XLA satisfies a custom-call's default-layout operand by
+# assigning the *producing conv* a lane-hostile layout (measured: the stem
+# conv went 95 -> 742 us next to the C2f megakernel — docs/PERF.md r5).
 
 
-# Regime gate, measured on v5e (docs/conv_fused_ab.json, tuned tiles):
-#   b2  (serving stereo pair): 0.97-4.5x per stage — Pallas everywhere.
-#   b8  (camera burst): 1.78-3.16x at H>=80; 0.59x at H=40 — Pallas only on
-#        the large-spatial sites.
-#   b128 (throughput): XLA's conv emitter sits at the bandwidth roof and the
-#        ~0.8 us/grid-step overhead makes Pallas lose 3-13x — XLA everywhere.
-PALLAS_CONV_MAX_BATCH = 8
-PALLAS_CONV_MIN_H = 80          # spatial cutoff for batches > _SMALL_BATCH
-PALLAS_CONV_SMALL_BATCH = 2     # at stereo-pair batch even tiny sites hold parity
+def _banded_w3s2(w, q: int, cin: int, cout: int, dy: int):
+    """Per-dy banded weight for stride 2: rows = a 2-in-group window (each in
+    group = 2Q input pixels), cols = Q output pixels.  Tap pixel t in the 4Q
+    window serves out pixel q via t = 2Q + 2q + dx - 1."""
+    wb = jnp.zeros((4 * q * cin, q * cout), w.dtype)
+    for o in range(q):
+        for dx in range(3):
+            t = 2 * q + 2 * o + dx - 1
+            wb = wb.at[t * cin:(t + 1) * cin, o * cout:(o + 1) * cout].set(w[dy, dx])
+    return wb
+
+
+def _conv3x3s2_kernel(xm_ref, x_ref, xp_ref, w_ref, b_ref, o_ref, *,
+                      th, wg, gcin2, qcout):
+    """One (batch, out-row-tile) step; in blocks hold 2*TH input rows."""
+    i = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+
+    top = jnp.where(i > 0, xm_ref[0, -1:], jnp.zeros_like(xm_ref[0, :1]))
+    bot = jnp.where(i < last, xp_ref[0, :1], jnp.zeros_like(xp_ref[0, :1]))
+    slab = jnp.concatenate([top, x_ref[0], bot], axis=0)      # (2TH+2, Wg, 2QCin)
+    rs = slab.reshape(th + 1, 2, wg, gcin2)
+    rows = {0: rs[:th, 0], 1: rs[:th, 1], 2: rs[1:, 0]}       # in row 2j+dy-1
+
+    zg = jnp.zeros((th, 1, gcin2), slab.dtype)
+    acc = jnp.zeros((th * wg, qcout), jnp.float32)
+    for dy in range(3):
+        r = rows[dy]                                          # (TH, Wg, 2QCin)
+        lhs = jnp.concatenate(
+            [jnp.concatenate([zg, r[:, : wg - 1]], axis=1), r], axis=-1)
+        acc += jnp.dot(lhs.reshape(th * wg, 2 * gcin2), w_ref[dy],
+                       preferred_element_type=jnp.float32)
+    acc = acc + b_ref[:].astype(jnp.float32)
+    y = acc * jax.nn.sigmoid(acc)
+    o_ref[0] = y.reshape(th, wg, qcout).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+def conv3x3s2_silu(x, w, b, tile_h: int = 16, interpret: bool = False):
+    """``silu(conv3x3_stride2_same(x, w) + b)``, one fused kernel.
+
+    x: (B, H, W, Cin) with H, W even;  w: (3, 3, Cin, Cout) HWIO;
+    b: (Cout,).  Returns (B, H/2, W/2, Cout).  Output pixel groups of Q
+    (Q*Cout lane-aligned) pair with input groups of 2Q pixels, so the x-taps
+    live in a 2-group window and the y-taps in paired slab rows."""
+    bsz, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    if h % 2 or wd % 2:
+        raise ValueError("stride-2 kernel requires even H and W")
+    q = _pack_group(cout, cout)
+    h_out, w_out = h // 2, wd // 2
+    if w_out % q:
+        raise ValueError(f"output width {w_out} not divisible by Q={q}")
+    wg = w_out // q
+    tile_h = _best_tile(h_out, min(tile_h, h_out), mult=4)
+    gcin2, qcout = 2 * q * cin, q * cout
+
+    xg = x.reshape(bsz, h, wg, gcin2)                         # free view
+    wb = jnp.stack([_banded_w3s2(w, q, cin, cout, dy) for dy in range(3)])
+    bk = jnp.tile(b, q)[None, :]
+
+    kern = functools.partial(_conv3x3s2_kernel, th=tile_h, wg=wg,
+                             gcin2=gcin2, qcout=qcout)
+
+    def blk(off):
+        # a block of 2*tile_h INPUT rows per out-row-tile index
+        return pl.BlockSpec(
+            (1, 2 * tile_h, wg, gcin2),
+            lambda bi, ti: (bi, jnp.clip(ti + off, 0, h_out // tile_h - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((bsz, h_out, wg, qcout), x.dtype),
+        grid=(bsz, h_out // tile_h),
+        in_specs=[
+            blk(-1), blk(0), blk(1),
+            pl.BlockSpec((3, 4 * q * cin, qcout), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qcout), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, wg, qcout),
+                               lambda bi, ti: (bi, ti, 0, 0), memory_space=pltpu.VMEM),
+        interpret=_auto_interpret(interpret),
+    )(xg, xg, xg, wb, bk)
+    return out.reshape(bsz, h_out, w_out, cout)
+
+
+# Regime gate, measured END-TO-END on v5e with the full-Pallas conv path
+# (docs/PERF.md r5 "full-Pallas conv path"; per-stage numbers in
+# docs/conv_fused_ab.json).  detect FPS off -> on:
+#   b2 stereo tick: 900 -> 1550/s (1.7-1.9x)   b8: 1255 -> 4707 (3.75x)
+#   b16: 1495 -> 3045 (2.0x)                    b32: 1830 -> 2418 (1.3x)
+#   b128: 6981 -> 2140 (0.31x — grid-step overhead scales with batch;
+#        throughput regime stays on the XLA emitter)
+# MIN_H: at b8, keeping the deep small-spatial sites on XLA measured 5130
+# vs 3005 FPS all-Pallas; at b<=2 even tiny sites hold parity, so the
+# spatial cutoff only applies above SMALL_BATCH.
+PALLAS_CONV_MAX_BATCH = 32
+PALLAS_CONV_MIN_H = 80
+PALLAS_CONV_SMALL_BATCH = 2
 
 
 def _use_pallas(batch: int, h: int) -> bool:
@@ -240,27 +347,62 @@ def pallas_cba_interceptor(next_fun, args, kwargs, context):
     path."""
     from icp_slam_yolo_tpu.models.yolo import ConvBnAct
 
+    import flax.linen as nn
+
     mod = context.module
-    train = kwargs.get("train", args[1] if len(args) > 1 else False)
-    if (not isinstance(mod, ConvBnAct) or context.method_name != "__call__"
-            or not mod.folded or train):
+    if context.method_name != "__call__":
         return next_fun(*args, **kwargs)
-    x = args[0]
-    if (x.ndim != 4 or not _use_pallas(int(x.shape[0]), int(x.shape[1]))
-            or (mod.kernel, mod.stride) not in ((1, 1), (3, 1))):
+    x = args[0] if args else None
+    if (not hasattr(x, "ndim") or x.ndim != 4
+            or not _use_pallas(int(x.shape[0]), int(x.shape[1]))):
+        return next_fun(*args, **kwargs)
+
+    if isinstance(mod, nn.Conv):
+        # plain 1x1 projection (head outputs, attention qkv): conv w/o act.
+        # ConvBnActs handled below never reach here (their branch does not
+        # call next_fun); a fallen-through ConvBnAct's inner conv DOES land
+        # here, keeping XLA convs away from pallas boundaries either way.
+        ks = tuple(mod.kernel_size) if not isinstance(mod.kernel_size, int) else (mod.kernel_size,) * 2
+        st = mod.strides or 1
+        st = (st, st) if isinstance(st, int) else tuple(st)
+        if (ks != (1, 1) or st != (1, 1)
+                or (getattr(mod, "feature_group_count", 1) or 1) != 1):
+            return next_fun(*args, **kwargs)
+        p = mod.variables["params"]
+        w = p["kernel"]
+        cin, cout = int(w.shape[-2]), int(w.shape[-1])
+        npix = x.shape[0] * x.shape[1] * x.shape[2]
+        if npix % 8:
+            return next_fun(*args, **kwargs)
+        b = p.get("bias")
+        b = jnp.zeros((cout,), w.dtype) if b is None else b
+        dt = mod.dtype or x.dtype
+        return conv1x1_silu(x.astype(dt), w[0, 0].astype(dt), b.astype(dt), act=False)
+
+    train = kwargs.get("train", args[1] if len(args) > 1 else False)
+    if (not isinstance(mod, ConvBnAct) or not mod.folded or train
+            or (mod.kernel, mod.stride) not in ((1, 1), (3, 1), (3, 2))):
         return next_fun(*args, **kwargs)
     p = mod.variables["params"]["Conv_0"]
     w, b = p["kernel"], p["bias"]
     cin, cout = int(w.shape[-2]), int(w.shape[-1])
-    g = _pack_group(cin, cout)
     npix = x.shape[0] * x.shape[1] * x.shape[2]
-    if x.shape[2] % g or npix % g or (npix // g) % 8:
-        return next_fun(*args, **kwargs)
+    if mod.kernel == 3 and mod.stride == 2:
+        q = _pack_group(cout, cout)
+        if (x.shape[1] % 2 or x.shape[2] % 2 or (x.shape[2] // 2) % q
+                or x.shape[1] < 2):
+            return next_fun(*args, **kwargs)
+    else:
+        g = _pack_group(cin, cout)
+        if x.shape[2] % g or npix % g or (npix // g) % 8:
+            return next_fun(*args, **kwargs)
     x = x.astype(mod.dtype)
     w = w.astype(mod.dtype)
     b = b.astype(mod.dtype)
     if mod.kernel == 1:
         return conv1x1_silu(x, w[0, 0], b)
+    if mod.stride == 2:
+        return conv3x3s2_silu(x, w, b)
     return conv3x3_silu(x, w, b)
 
 

@@ -39,6 +39,45 @@ def test_conv1x1_silu_bf16_close():
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
 
 
+def test_conv1x1_no_act_matches_linear():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 8, 32, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((32, 64)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((64,)) * 0.1, jnp.float32)
+    got = conv_fused.conv1x1_silu(x, w, b, tile_m=64, interpret=True, act=False)
+    want = jnp.einsum("bhwc,co->bhwo", x, w) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def _xla_conv3s2(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), w.astype(jnp.float32), (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.nn.silu(y + b.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("cin,cout,hw", [(3, 16, 64), (16, 32, 32), (64, 128, 16)])
+def test_conv3x3s2_silu_matches_xla(cin, cout, hw):
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
+    got = conv_fused.conv3x3s2_silu(x, w, b, tile_h=8, interpret=True)
+    want = _xla_conv3s2(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_conv3x3s2_single_tile():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 8, 64, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 16)) * 0.1, jnp.float32)
+    b = jnp.zeros((16,), jnp.float32)
+    got = conv_fused.conv3x3s2_silu(x, w, b, tile_h=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla_conv3s2(x, w, b)),
+                               rtol=2e-4, atol=2e-4)
+
+
 def _xla_conv3(x, w, b):
     y = jax.lax.conv_general_dilated(
         x.astype(jnp.float32), w.astype(jnp.float32), (1, 1), [(1, 1), (1, 1)],
@@ -83,10 +122,13 @@ def test_interceptor_mini_module_swap_and_fallback():
     class Mini(nn.Module):
         @nn.compact
         def __call__(self, x, train=False):
-            x = ConvBnAct(16, 3, 2, folded=True)(x, train)    # s2: falls through
-            x = ConvBnAct(16, 3, 1, folded=True)(x, train)    # 3x3 kernel path
-            x = ConvBnAct(32, 1, 1, folded=True)(x, train)    # 1x1 kernel path
-            return ConvBnAct(32, 1, 1, folded=False)(x, train)  # unfolded: falls through
+            x = ConvBnAct(16, 3, 2, folded=True)(x, train)    # stride-2 kernel
+            x = ConvBnAct(16, 3, 1, folded=True)(x, train)    # 3x3-s1 kernel
+            x = ConvBnAct(32, 1, 1, folded=True)(x, train)    # 1x1 kernel
+            # unfolded CBA: falls through, but its INNER conv still swaps to
+            # the no-act 1x1 kernel (full-pallas path: no XLA conv touches a
+            # pallas boundary)
+            return ConvBnAct(32, 1, 1, folded=False)(x, train)
 
     m = Mini()
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 160, 160, 3)), jnp.float32)
@@ -95,19 +137,23 @@ def test_interceptor_mini_module_swap_and_fallback():
 
     calls = []
     orig1, orig3 = conv_fused.conv1x1_silu, conv_fused.conv3x3_silu
-    conv_fused.conv1x1_silu = lambda *a, **k: calls.append("1x1") or orig1(*a, **k)
+    orig_s2 = conv_fused.conv3x3s2_silu
+    conv_fused.conv1x1_silu = lambda *a, **k: calls.append(
+        "1x1" if k.get("act", True) else "1x1na") or orig1(*a, **k)
     conv_fused.conv3x3_silu = lambda *a, **k: calls.append("3x3") or orig3(*a, **k)
+    conv_fused.conv3x3s2_silu = lambda *a, **k: calls.append("s2") or orig_s2(*a, **k)
     try:
         with nn.intercept_methods(pallas_cba_interceptor):
             o1 = m.apply(v, x, train=False)
-        assert sorted(calls) == ["1x1", "3x3"], calls  # exactly the 2 supported sites
+        assert sorted(calls) == ["1x1", "1x1na", "3x3", "s2"], calls
         calls.clear()
-        xb = jnp.concatenate([x] * 8, axis=0)  # batch 16 > regime gate
+        xb = jnp.concatenate([x] * 20, axis=0)  # batch 40 > regime gate (32)
         with nn.intercept_methods(pallas_cba_interceptor):
             ob = m.apply(v, xb, train=False)
         assert calls == [], calls  # throughput regime: all-XLA
     finally:
         conv_fused.conv1x1_silu, conv_fused.conv3x3_silu = orig1, orig3
+        conv_fused.conv3x3s2_silu = orig_s2
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ob[:2]), np.asarray(o0), atol=2e-4, rtol=1e-4)
 
